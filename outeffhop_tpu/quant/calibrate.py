@@ -1,0 +1,305 @@
+"""Calibrate → freeze → run: the functional PTQ pipeline.
+
+Replaces the reference's stateful machinery — `QuantizationManager` 4-state FSM
+(`quantization_manager.py:11-108`), `QuantizationHijacker` forward wrapping
+(`hijacker.py:27-134`), and `pass_data_for_range_estimation`
+(`transformers_language/utils.py:50-71`) — with three explicit phases:
+
+  1. **discover**: one eager dummy forward records every weight tensor and
+     activation-site name (the functional analogue of the reference's
+     dummy-forward quantizer materialization, `base_quantized_model.py:74-79`).
+  2. **calibrate**: the forward runs under jit with an explicit estimator-state
+     pytree threaded in/out; each activation site updates its range estimate
+     with the current batch and then fake-quants with the *updated* estimate —
+     exactly the manager's estimate-then-quantize order
+     (`quantization_manager.py:94-102`). Weights use ranges precomputed at
+     build time from the (static) weight tensors.
+  3. **freeze → run**: estimator states are finalized into a static
+     `QParams`-per-site pytree; the run-phase forward fake-quants (or
+     integer-quantizes for real, on the int8 kernel path) with frozen
+     parameters.
+
+Model forwards thread a `QuantCtx` (or `None` for the FP path) and call
+`ctx.weight(name, w)` / `ctx.act(name, x, kind)` at each quantization point.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outeffhop_tpu.quant.config import QuantizedModelConfig, SiteCfg
+from outeffhop_tpu.quant.fake_quant import (
+    QParams,
+    fake_quant,
+    qparams_from_range_asymmetric,
+    qparams_from_range_symmetric,
+    reshape_per_channel,
+)
+from outeffhop_tpu.quant.ranges import make_estimator
+
+Array = jax.Array
+
+# Estimator state under jit: dict(lo, hi, n). `n` counts batches so the
+# first-batch-initializes EMA semantics survive inside a jitted fold.
+EstState = Dict[str, Array]
+
+
+def _init_est_state() -> EstState:
+    return dict(
+        lo=jnp.zeros((), jnp.float32),
+        hi=jnp.zeros((), jnp.float32),
+        n=jnp.zeros((), jnp.int32),
+    )
+
+
+def _batch_lo_hi(cfg: SiteCfg, x: Array) -> Tuple[Array, Array]:
+    x = x.astype(jnp.float32)
+    pct = cfg.estimator_kw.get("percentile")
+    if pct:
+        if cfg.estimator == "running_minmax":
+            # (100-p, p) convention, p like 99.999 (range_estimators.py:89-94)
+            return jnp.percentile(x, 100.0 - pct), jnp.percentile(x, pct)
+        # current_minmax convention: (p, 100-p), p like 0.01 (:62-69)
+        return jnp.percentile(x, pct), jnp.percentile(x, 100.0 - pct)
+    return jnp.min(x), jnp.max(x)
+
+
+def _update_est_state(cfg: SiteCfg, state: EstState, x: Array) -> EstState:
+    lo, hi = _batch_lo_hi(cfg, x)
+    if cfg.estimator == "running_minmax":
+        m = cfg.estimator_kw.get("momentum", 0.9)
+        first = state["n"] == 0
+        new_lo = jnp.where(first, lo, (1 - m) * lo + m * state["lo"])
+        new_hi = jnp.where(first, hi, (1 - m) * hi + m * state["hi"])
+    elif cfg.estimator == "current_minmax":
+        new_lo, new_hi = lo, hi
+    else:
+        raise NotImplementedError(
+            f"in-jit calibration supports current/running_minmax, got {cfg.estimator!r}"
+        )
+    return dict(lo=new_lo, hi=new_hi, n=state["n"] + 1)
+
+
+def _qparams_from_state(cfg: SiteCfg, lo: Array, hi: Array) -> QParams:
+    if cfg.symmetric:
+        # `signed` must be static under jit; activations quantized symmetric
+        # are assumed signed (the reference's default act method is
+        # asymmetric, where this never arises).
+        return qparams_from_range_symmetric(lo, hi, n_bits=cfg.n_bits, signed=True)
+    return qparams_from_range_asymmetric(lo, hi, n_bits=cfg.n_bits)
+
+
+class QuantCtx:
+    """Per-forward quantization context. Construct with one of the
+    classmethods; thread through the model forward; read the mutated fields
+    (`discovered_*` or `est_state`) afterwards."""
+
+    def __init__(self, mode: str, config: Optional[QuantizedModelConfig]):
+        assert mode in ("discover", "calibrate", "run")
+        self.mode = mode
+        self.config = config
+        self.weight_qparams: Dict[str, Optional[QParams]] = {}
+        self.act_qparams: Dict[str, Optional[QParams]] = {}
+        self.est_state: Dict[str, EstState] = {}
+        self.discovered_weights: Dict[str, Tuple[Array, Optional[int]]] = {}
+        self.discovered_acts: list = []
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def discover(cls, config: QuantizedModelConfig) -> "QuantCtx":
+        return cls("discover", config)
+
+    @classmethod
+    def calibrate(
+        cls,
+        config: QuantizedModelConfig,
+        weight_qparams: Dict[str, Optional[QParams]],
+        est_state: Dict[str, EstState],
+    ) -> "QuantCtx":
+        ctx = cls("calibrate", config)
+        ctx.weight_qparams = weight_qparams
+        ctx.est_state = dict(est_state)
+        return ctx
+
+    @classmethod
+    def run(
+        cls,
+        config: QuantizedModelConfig,
+        weight_qparams: Dict[str, Optional[QParams]],
+        act_qparams: Dict[str, Optional[QParams]],
+    ) -> "QuantCtx":
+        ctx = cls("run", config)
+        ctx.weight_qparams = weight_qparams
+        ctx.act_qparams = act_qparams
+        return ctx
+
+    # -- site handlers -----------------------------------------------------
+
+    def weight(self, name: str, w: Array, per_channel_axis: Optional[int] = 0) -> Array:
+        """Weight quantization point. `name` must carry the '|w' (or
+        '|ln_param') suffix already applied by the caller's scope helper."""
+        if self.mode == "discover":
+            self.discovered_weights[name] = (w, per_channel_axis)
+            return w
+        qp = self.weight_qparams.get(name)
+        if qp is None:
+            return w
+        return fake_quant(w, qp, grad_scaling=False, per_channel=qp.delta.ndim > 0)
+
+    def act(self, name: str, x: Array) -> Array:
+        """Activation quantization point (name carries its kind suffix)."""
+        if self.mode == "discover":
+            self.discovered_acts.append(name)
+            return x
+        cfg = self.config.act_site(name)
+        if not cfg.enabled:
+            return x
+        if self.mode == "calibrate":
+            state = self.est_state.get(name)
+            if state is None:
+                state = _init_est_state()
+            state = _update_est_state(cfg, state, x)
+            self.est_state[name] = state
+            qp = _qparams_from_state(cfg, state["lo"], state["hi"])
+            return fake_quant(x, qp)
+        qp = self.act_qparams.get(name)
+        if qp is None:
+            return x
+        return fake_quant(x, qp)
+
+    def scoped(self, prefix: str) -> "ScopedQuantCtx":
+        return ScopedQuantCtx(self, prefix)
+
+
+class ScopedQuantCtx:
+    """Prefix-namespaced view (mirrors telemetry.ScopedTape)."""
+
+    def __init__(self, ctx: Optional[QuantCtx], prefix: str):
+        self._ctx = ctx
+        self._prefix = prefix
+
+    def _full(self, name: str, kind: str) -> str:
+        base = f"{self._prefix}.{name}" if self._prefix else name
+        return f"{base}|{kind}"
+
+    def weight(self, name: str, w: Array, per_channel_axis: Optional[int] = 0,
+               kind: str = "w") -> Array:
+        if self._ctx is None:
+            return w
+        return self._ctx.weight(self._full(name, kind), w, per_channel_axis)
+
+    def act(self, name: str, x: Array, kind: str = "a") -> Array:
+        if self._ctx is None:
+            return x
+        return self._ctx.act(self._full(name, kind), x)
+
+    def scoped(self, prefix: str) -> "ScopedQuantCtx":
+        if self._ctx is None:
+            return self
+        new = f"{self._prefix}.{prefix}" if self._prefix else prefix
+        return ScopedQuantCtx(self._ctx, new)
+
+    @property
+    def enabled(self) -> bool:
+        return self._ctx is not None
+
+
+NULL_QCTX = ScopedQuantCtx(None, "")
+
+
+# --------------------------------------------------------------------------
+# Build-time helpers
+# --------------------------------------------------------------------------
+
+
+def compute_weight_qparams(
+    discovered: Dict[str, Tuple[Array, Optional[int]]],
+    config: QuantizedModelConfig,
+) -> Dict[str, Optional[QParams]]:
+    """Freeze weight ranges from the (static) weight tensors.
+
+    current_minmax default; per-channel along axis 0 of the weight (the
+    out-feature axis, `uniform_quantizers.py:159-171`); MSE grid/golden
+    optional (`weight_range_options`)."""
+    out: Dict[str, Optional[QParams]] = {}
+    for name, (w, pc_axis) in discovered.items():
+        cfg = config.weight_site(name)
+        if not cfg.enabled:
+            out[name] = None
+            continue
+        per_channel = cfg.per_channel and pc_axis is not None
+        est_kw = dict(cfg.estimator_kw)
+        if cfg.estimator == "mse":
+            est_kw.setdefault("n_bits", cfg.n_bits)
+            est_kw.setdefault("symmetric", cfg.symmetric)
+        est = make_estimator(cfg.estimator, per_channel=per_channel, **est_kw)
+        w2 = jnp.moveaxis(w, pc_axis, 0) if (per_channel and pc_axis != 0) else w
+        if per_channel:
+            lo, hi = est.estimate([w2])
+        else:
+            lo, hi = est.estimate([w2.reshape(1, -1) if cfg.estimator == "mse" else w2])
+        if cfg.symmetric:
+            qp = qparams_from_range_symmetric(lo, hi, n_bits=cfg.n_bits)
+        else:
+            qp = qparams_from_range_asymmetric(lo, hi, n_bits=cfg.n_bits)
+        if per_channel:
+            qp = reshape_per_channel(qp, w.ndim)
+        out[name] = qp
+    return out
+
+
+def freeze_act_qparams(
+    est_state: Dict[str, EstState], config: QuantizedModelConfig
+) -> Dict[str, Optional[QParams]]:
+    """Finalize calibration: estimator states → frozen per-site QParams
+    (the `fix_ranges` step, `base_quantized_model.py:137`)."""
+    out: Dict[str, Optional[QParams]] = {}
+    for name, state in est_state.items():
+        cfg = config.act_site(name)
+        if not cfg.enabled:
+            out[name] = None
+            continue
+        lo = jnp.asarray(jax.device_get(state["lo"]), jnp.float32)
+        hi = jnp.asarray(jax.device_get(state["hi"]), jnp.float32)
+        if cfg.symmetric:
+            out[name] = qparams_from_range_symmetric(lo, hi, n_bits=cfg.n_bits)
+        else:
+            out[name] = qparams_from_range_asymmetric(lo, hi, n_bits=cfg.n_bits)
+    return out
+
+
+def run_calibration(
+    forward_with_qctx,
+    config: QuantizedModelConfig,
+    weight_qparams: Dict[str, Optional[QParams]],
+    batches,
+    jit: bool = True,
+) -> Dict[str, EstState]:
+    """Fold estimator state over calibration batches.
+
+    `forward_with_qctx(batch, qctx)` must run the model forward through the
+    given ScopedQuantCtx. Returns the final estimator-state pytree.
+    """
+
+    def step(est_state, batch):
+        ctx = QuantCtx.calibrate(config, weight_qparams, est_state)
+        forward_with_qctx(batch, ScopedQuantCtx(ctx, ""))
+        return ctx.est_state
+
+    step_fn = jax.jit(step) if jit else step
+    est_state: Dict[str, EstState] = {}
+    for i, batch in enumerate(batches):
+        if i >= config.est_num_batches:
+            break
+        if i <= 1:
+            # first call populates the site set (structure change → retrace)
+            est_state = step(est_state, batch)
+        else:
+            est_state = step_fn(est_state, batch)
+    return est_state

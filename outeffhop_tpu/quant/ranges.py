@@ -1,0 +1,273 @@
+"""Range estimators: current-minmax, running-minmax (EMA), percentile, MSE grid.
+
+Capability parity with `OutEffHop/quantization/range_estimators.py`, re-designed
+as a functional fold so calibration can run under jit:
+
+  * `batch_stats(x)`  — jittable reduction of one activation tensor to a small
+    stats pytree (min/max or percentile pair; MSE: per-candidate losses)
+  * `update(state, stats)` — fold step (EMA / overwrite / accumulate)
+  * `finalize(state)` — (x_min, x_max)
+
+Semantics preserved exactly:
+  * RunningMinMax: EMA with momentum 0.9, **first batch initializes**
+    (`range_estimators.py:99-104`); percentile mode takes
+    (100-p, p) percentiles (p like 99.999).
+  * CurrentMinMax: last batch wins; percentile mode takes (p, 100-p)
+    percentiles (p like 0.01) — note the two classes' opposite conventions
+    (`range_estimators.py:62-69` vs `:89-94`).
+  * MSE grid: candidate thresholds are i*step for i in 1..N with
+    step = max_range/N where the search range is fixed by the FIRST batch
+    (absmax + 0.5 margin); losses accumulate across batches; symmetric or
+    one-sided → 1-D search, else 2-D search over (range, int-skew, sign)
+    (`range_estimators.py:215-306`).
+
+Percentile note (SURVEY.md §7 hard parts): the reference uses `np.percentile`
+(exact, linear interpolation). We use `jnp.percentile`, which implements the
+same linear-interpolation definition — exact parity, computed via sort on
+device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outeffhop_tpu.quant.fake_quant import QParams, qparams_from_range
+
+Array = jax.Array
+
+
+class RangeEstimator:
+    """Base: a stateless descriptor; state is an explicit pytree."""
+
+    per_channel: bool = False
+
+    def init_state(self):
+        return None
+
+    def batch_stats(self, x: Array):
+        raise NotImplementedError
+
+    def update(self, state, stats):
+        raise NotImplementedError
+
+    def finalize(self, state) -> Tuple[Array, Array]:
+        raise NotImplementedError
+
+    def estimate(self, batches) -> Tuple[Array, Array]:
+        """Convenience: fold a list of tensors (used for weights / tests)."""
+        state = self.init_state()
+        for x in batches:
+            state = self.update(state, self.batch_stats(x))
+        return self.finalize(state)
+
+
+def _flatten_per_channel(x: Array) -> Array:
+    return x.reshape(x.shape[0], -1)
+
+
+@dataclasses.dataclass
+class CurrentMinMax(RangeEstimator):
+    """Last batch's (min, max); optional two-sided percentile
+    (`CurrentMinMaxEstimator`, range_estimators.py:53-74)."""
+
+    percentile: Optional[float] = None
+    per_channel: bool = False
+
+    def init_state(self):
+        return None
+
+    def batch_stats(self, x: Array):
+        if self.per_channel:
+            x = _flatten_per_channel(x)
+            if self.percentile:
+                lo = jnp.percentile(x, self.percentile, axis=-1)
+                hi = jnp.percentile(x, 100.0 - self.percentile, axis=-1)
+            else:
+                lo = jnp.min(x, axis=-1)
+                hi = jnp.max(x, axis=-1)
+        else:
+            if self.percentile:
+                lo = jnp.percentile(x, self.percentile)
+                hi = jnp.percentile(x, 100.0 - self.percentile)
+            else:
+                lo = jnp.min(x)
+                hi = jnp.max(x)
+        return lo, hi
+
+    def update(self, state, stats):
+        return stats
+
+    def finalize(self, state):
+        if state is None:
+            raise ValueError("no data passed to range estimator")
+        return state
+
+
+@dataclasses.dataclass
+class RunningMinMax(RangeEstimator):
+    """EMA of per-batch (min, max), momentum 0.9, first batch initializes
+    (`RunningMinMaxEstimator`, range_estimators.py:77-106)."""
+
+    momentum: float = 0.9
+    percentile: Optional[float] = None
+    per_channel: bool = False
+
+    def init_state(self):
+        return None
+
+    def batch_stats(self, x: Array):
+        if self.per_channel:
+            xf = _flatten_per_channel(x)
+            return jnp.min(xf, axis=-1), jnp.max(xf, axis=-1)
+        if self.percentile:
+            # NOTE opposite convention to CurrentMinMax: p like 99.999
+            lo = jnp.percentile(x, 100.0 - self.percentile)
+            hi = jnp.percentile(x, self.percentile)
+            return lo, hi
+        return jnp.min(x), jnp.max(x)
+
+    def update(self, state, stats):
+        lo, hi = stats
+        if state is None:
+            return lo, hi
+        old_lo, old_hi = state
+        m = self.momentum
+        return (1 - m) * lo + m * old_lo, (1 - m) * hi + m * old_hi
+
+    def finalize(self, state):
+        if state is None:
+            raise ValueError("no data passed to range estimator")
+        return state
+
+
+@dataclasses.dataclass
+class MSEEstimator(RangeEstimator):
+    """Grid-search MSE-optimal clipping range (`MSE_Estimator`,
+    range_estimators.py:114-382, OptMethod.grid).
+
+    Used at freeze time for weights (and optionally embeddings, the reference's
+    `quant_dict['Et']` option), so it runs as a direct fold over full tensors.
+    The candidate losses are computed vectorized over the candidate axis (vmap)
+    rather than a Python loop per candidate — same math, TPU-shaped.
+    """
+
+    n_bits: int = 8
+    symmetric: bool = False
+    num_candidates: int = 100
+    range_margin: float = 0.5
+    per_channel: bool = False
+
+    def init_state(self):
+        # (search_range_def, loss_accumulator); defined on first batch
+        return None
+
+    # -- search-space definition (first batch) --
+    def _define_search(self, x: Array):
+        one_sided = bool(np.asarray(jnp.min(x)) >= 0)
+        if one_sided or self.symmetric:
+            max_pos = float(
+                max(abs(float(jnp.min(x))), float(jnp.max(x))) + self.range_margin
+            )
+            return dict(one_sided=one_sided, mode="1d", max_range=max_pos)
+        max_pos = float(jnp.max(x)) + self.range_margin
+        max_neg = float(jnp.min(x)) - self.range_margin
+        return dict(
+            one_sided=False,
+            mode="2d",
+            max_range=float(max(abs(max_pos), abs(max_neg))),
+            max_pos_thr=max_pos,
+            max_neg_thr=max_neg,
+        )
+
+    def _quant_mse(self, x: Array, neg_thr, pos_thr, per_channel_loss: bool):
+        qp = qparams_from_range(neg_thr, pos_thr, n_bits=self.n_bits, symmetric=self.symmetric)
+        from outeffhop_tpu.quant.fake_quant import fake_quant
+
+        y = fake_quant(x, qp)
+        se = jnp.sum(jnp.square(x - y).reshape(x.shape[0], -1), axis=1)
+        return se if per_channel_loss else jnp.sum(se)[None]
+
+    def _candidate_losses(self, search, x: Array) -> np.ndarray:
+        step = search["max_range"] / self.num_candidates
+        cands = np.arange(1, self.num_candidates + 1)
+        if search["mode"] == "1d":
+            losses = []
+            for c in cands:
+                neg = 0.0 if search["one_sided"] else -step * c
+                pos = step * c
+                losses.append(np.asarray(self._quant_mse(x, neg, pos, self.per_channel)))
+            return np.stack(losses, axis=1)  # (channels, num_candidates)
+        # 2d: (channels, cand, skew, sign)
+        max_int_skew = (2**self.n_bits) // 4
+        int_max = 2.0**self.n_bits - 1
+        channels = x.shape[0] if self.per_channel else 1
+        out = np.zeros((channels, self.num_candidates, max_int_skew, 2))
+        for ci, c in enumerate(cands):
+            start, finish = -step * c, step * c
+            delta = (finish - start) / int_max
+            for shift in range(max_int_skew):
+                for reverse in range(2):
+                    skew = ((-1) ** reverse) * shift * delta
+                    neg = max(start + skew, search["max_neg_thr"])
+                    pos = min(finish + skew, search["max_pos_thr"])
+                    out[:, ci, shift, reverse] = np.asarray(
+                        self._quant_mse(x, neg, pos, self.per_channel)
+                    )
+        return out
+
+    def batch_stats(self, x: Array):
+        return x  # MSE needs the raw tensor
+
+    def update(self, state, x: Array):
+        if state is None:
+            search = self._define_search(x)
+            loss = self._candidate_losses(search, x)
+            return (search, loss)
+        search, loss = state
+        return (search, loss + self._candidate_losses(search, x))
+
+    def finalize(self, state):
+        if state is None:
+            raise ValueError("no data passed to range estimator")
+        search, loss = state
+        step = search["max_range"] / self.num_candidates
+        if search["mode"] == "1d":
+            min_cand = loss.argmin(axis=1) + 1  # candidates are 1-indexed
+            xmax = step * min_cand
+            xmin = np.zeros_like(xmax) if search["one_sided"] else -xmax
+        else:
+            int_max = 2.0**self.n_bits - 1
+            channels = loss.shape[0]
+            xmin = np.zeros(channels)
+            xmax = np.zeros(channels)
+            for ch in range(channels):
+                cand, shift, reverse = np.unravel_index(loss[ch].argmin(), loss[ch].shape)
+                cand += 1
+                start, finish = -step * cand, step * cand
+                delta = (finish - start) / int_max
+                skew = ((-1) ** reverse) * shift * delta
+                xmin[ch] = max(start + skew, search["max_neg_thr"])
+                xmax[ch] = min(finish + skew, search["max_pos_thr"])
+        xmin = jnp.asarray(xmin, dtype=jnp.float32)
+        xmax = jnp.asarray(xmax, dtype=jnp.float32)
+        if not self.per_channel:
+            xmin, xmax = xmin.reshape(()), xmax.reshape(())
+        return xmin, xmax
+
+
+def make_estimator(name: str, **kw) -> RangeEstimator:
+    """Registry matching the reference's `RangeEstimators` enum
+    (range_estimators.py:392-395) + CLI names."""
+    name = name.lower()
+    if name in ("current_minmax", "currentminmax"):
+        return CurrentMinMax(**kw)
+    if name in ("running_minmax", "runningminmax"):
+        return RunningMinMax(**kw)
+    if name == "mse":
+        return MSEEstimator(**kw)
+    raise KeyError(f"unknown range estimator {name!r}")

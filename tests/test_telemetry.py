@@ -1,0 +1,42 @@
+import jax.numpy as jnp
+import numpy as np
+
+from outeffhop_tpu.ops.telemetry import ProbeTape, inf_norm, kurtosis
+
+
+def test_kurtosis_gaussian_close_to_3():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 20000)).astype(np.float32))
+    k = np.asarray(kurtosis(x))
+    np.testing.assert_allclose(k, 3.0, atol=0.15)
+
+
+def test_kurtosis_unbiased_std_matches_manual():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(4, 50)).astype(np.float32)
+    k = np.asarray(kurtosis(jnp.asarray(x)))
+    mu = x.mean(1, keepdims=True)
+    s = x.std(1, ddof=1)  # torch Tensor.std default is unbiased
+    want = ((x - mu) ** 4).mean(1) / (s**4 + 1e-6)
+    np.testing.assert_allclose(k, want, rtol=1e-4)
+
+
+def test_inf_norm():
+    x = jnp.array([[1.0, -7.5], [3.0, 2.0]])
+    assert float(inf_norm(x)) == 7.5
+
+
+def test_probe_tape_stats_and_scoping():
+    tape = ProbeTape(enabled=True, mode="stats")
+    layer = tape.scoped("layer0").scoped("attention")
+    x = jnp.ones((2, 3, 4))
+    layer.record("attn_scores", x)
+    assert "layer0.attention.attn_scores|inf_norm" in tape.values
+    assert float(tape.values["layer0.attention.attn_scores|inf_norm"]) == 1.0
+
+
+def test_probe_tape_disabled_is_noop():
+    tape = ProbeTape(enabled=False)
+    out = tape.record("x", jnp.ones(3))
+    assert out.shape == (3,)
+    assert tape.values == {}
