@@ -1,0 +1,186 @@
+"""Functional building blocks shared by all model families.
+
+Each block is a pure function over a param sub-pytree, threading a
+`ScopedQuantCtx` (quant sites) and a `ScopedTape` (telemetry probes). The
+quant-site placement mirrors the reference's `QuantizationHijacker` semantics
+(`quantization/hijacker.py:78-82`): quantize weights → run op → (fold the
+adjacent activation function) → quantize output activations. Biases stay FP,
+as in the reference (the hijacker only quantizes `weight`).
+
+Parameter layout convention: Linear kernels are stored (out_features,
+in_features) — the torch layout — so HF checkpoint conversion is a copy and
+per-channel weight quantization is along axis 0 in both frameworks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from outeffhop_tpu.ops.telemetry import NULL_TAPE, ScopedTape
+from outeffhop_tpu.quant.calibrate import NULL_QCTX, ScopedQuantCtx
+from outeffhop_tpu.quant.fake_quant import round_ste
+
+Array = jax.Array
+
+
+# --------------------------------------------------------------------------
+# Param initializers
+# --------------------------------------------------------------------------
+
+
+def dense_params(key, in_features: int, out_features: int, std: float = 0.02):
+    kw, _ = jax.random.split(key)
+    return {
+        "weight": jax.random.normal(kw, (out_features, in_features), jnp.float32) * std,
+        "bias": jnp.zeros((out_features,), jnp.float32),
+    }
+
+
+def ln_params(dim: int):
+    return {
+        "weight": jnp.ones((dim,), jnp.float32),
+        "bias": jnp.zeros((dim,), jnp.float32),
+    }
+
+
+def embedding_params(key, num_embeddings: int, dim: int, std: float = 0.02):
+    return {"weight": jax.random.normal(key, (num_embeddings, dim), jnp.float32) * std}
+
+
+# --------------------------------------------------------------------------
+# Functional layers with quant sites
+# --------------------------------------------------------------------------
+
+
+def dense(
+    params,
+    x: Array,
+    q: ScopedQuantCtx = NULL_QCTX,
+    name: str = "dense",
+    activation: Optional[Callable[[Array], Array]] = None,
+) -> Array:
+    """Linear (+ optionally folded activation fn) with weight & output-act
+    quant sites — the `QuantLinear` hijack (`autoquant_utils.py:17-19`,
+    `hijacker.py:78-82`)."""
+    w = q.weight(name, params["weight"], per_channel_axis=0)
+    y = x @ w.T + params["bias"]
+    if activation is not None:
+        y = activation(y)
+    return q.act(name, y)
+
+
+def embedding(
+    params,
+    ids: Array,
+    q: ScopedQuantCtx = NULL_QCTX,
+    name: str = "embedding",
+) -> Array:
+    """Embedding lookup with weight quantization only — the output IS the
+    (already quantized) weight rows, so no act quantizer (`QuantEmbedding`,
+    `autoquant_utils.py:75-92`)."""
+    w = q.weight(name, params["weight"], per_channel_axis=None)
+    return jnp.take(w, ids, axis=0)
+
+
+def layer_norm(params, x: Array, eps: float = 1e-12) -> Array:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + eps)
+    return xn * params["weight"] + params["bias"]
+
+
+def quant_layer_norm(
+    params,
+    x: Array,
+    q: ScopedQuantCtx = NULL_QCTX,
+    name: str = "ln",
+    eps: float = 1e-12,
+) -> Array:
+    """Hijacked LayerNorm: gamma weight-quantized, output act-quantized
+    (`QuantLayerNorm` in `autoquant_utils.py:63-71`). This is the default LN
+    quantization everywhere; the fully decomposed variant is below."""
+    gamma = q.weight(name, params["weight"], per_channel_axis=None)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps) * gamma + params["bias"]
+    return q.act(name, y)
+
+
+def _dynamic_symmetric_fake_quant(x: Array, n_bits: int) -> Array:
+    """On-the-fly symmetric current-minmax fake-quant, branchless in the
+    signedness (works on traced tensors). Used for LN gamma/beta inside the
+    decomposed LN (`quantized_bert.py:126-141` builds a fresh
+    SymmetricUniformQuantizer + CurrentMinMaxEstimator per forward)."""
+    x_min = jnp.minimum(jnp.min(x), 0.0)
+    x_max = jnp.maximum(jnp.max(x), 1e-8)
+    signed = x_min < 0  # traced
+    int_max = jnp.where(signed, 2.0 ** (n_bits - 1) - 1, 2.0**n_bits - 1)
+    int_min = jnp.where(signed, -(2.0 ** (n_bits - 1)), 0.0)
+    absmax = jnp.maximum(jnp.abs(x_min), x_max)
+    delta = jnp.maximum(absmax / int_max, 1e-8)
+    x_int = jnp.clip(round_ste(x / delta), int_min, int_max)
+    return delta * x_int
+
+
+def decomposed_quant_layer_norm(
+    params,
+    x: Array,
+    q: ScopedQuantCtx,
+    name: str = "ln",
+    mu_site: Optional[str] = None,
+    ver: str = "v1",
+    n_bits_params: int = 8,
+    eps: float = 1e-12,
+) -> Array:
+    """Fully decomposed quantized LayerNorm — every intermediate quantized
+    (`quantized_bert.QuantLayerNorm`, quantized_bert.py:78-143):
+
+        mu → (input quantizer) ; u = x - mu → binary-bits site
+        v1: S = E[x^2], mu² , Σ = relu(S - mu²)  (each unary-bits sites)
+        v2: Σ = E[u²]
+        v = rsqrt(Σ + 1e-12) ; w = u·v ; y = w·γq + βq  (binary-bits sites)
+        γ, β freshly symmetric-quantized from their own minmax each call.
+
+    `mu_site` names the *input* activation quantizer to reuse for mu (the
+    reference passes the upstream quantizer instance; folding mu through the
+    same named site reproduces the shared-range semantics).
+    """
+    if not q.enabled:
+        return layer_norm(params, x, eps)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    if mu_site is not None:
+        mu = q.act(mu_site, mu)
+    else:
+        mu = q.act(f"{name}.mu", mu)
+    u_q = q.act(f"{name}.u", x - mu, kind="ln_binary")
+    if ver == "v1":
+        s_q = q.act(f"{name}.S", jnp.mean(jnp.square(x), axis=-1, keepdims=True), kind="ln_unary")
+        mu2_q = q.act(f"{name}.mu2", mu * mu, kind="ln_unary")
+        sigma_q = q.act(f"{name}.Sigma", jax.nn.relu(s_q - mu2_q), kind="ln_unary")
+    elif ver == "v2":
+        sigma_q = q.act(
+            f"{name}.Sigma", jnp.mean(jnp.square(u_q), axis=-1, keepdims=True), kind="ln_unary"
+        )
+    else:
+        raise NotImplementedError(f"layer_norm_ver {ver!r}")
+    v_q = q.act(f"{name}.v", jax.lax.rsqrt(sigma_q + eps), kind="ln_unary")
+    w_q = q.act(f"{name}.w", u_q * v_q, kind="ln_binary")
+    gamma_q = _dynamic_symmetric_fake_quant(params["weight"], n_bits_params)
+    beta_q = _dynamic_symmetric_fake_quant(params["bias"], n_bits_params)
+    return q.act(f"{name}.y", w_q * gamma_q + beta_q, kind="ln_binary")
+
+
+def dropout(x: Array, rate: float, rng: Optional[Array], deterministic: bool) -> Array:
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def gelu(x: Array) -> Array:
+    """Exact (erf) GELU — HF BERT's default `gelu` activation."""
+    return jax.nn.gelu(x, approximate=False)

@@ -90,10 +90,12 @@ class ScopedTape:
     def record(self, name: str, value: Array) -> Array:
         if self._tape is None:
             return value
-        return self._tape.record(f"{self._prefix}.{name}", value)
+        full = f"{self._prefix}.{name}" if self._prefix else name
+        return self._tape.record(full, value)
 
     def scoped(self, prefix: str) -> "ScopedTape":
-        return ScopedTape(self._tape, f"{self._prefix}.{prefix}")
+        new = f"{self._prefix}.{prefix}" if self._prefix else prefix
+        return ScopedTape(self._tape, new)
 
 
 NULL_TAPE = ScopedTape(None, "")
