@@ -1,0 +1,91 @@
+"""Headline benchmark: BERT-base softmax_1 MLM inference throughput (tokens/s).
+
+The flagship config from the paper (BERT-base, softmax_1 attention, seq 128)
+run in bf16 with the fused Pallas softmax_1 flash-attention kernel.
+`vs_baseline` is the speedup over the same model with the unfused XLA
+attention path (QK^T -> softmax_1 -> PV with the (B,H,T,T) score tensor
+materialized), which is the reference's computation structure
+(`bert_attention.py:222-292`) on this hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    # through the remote-TPU tunnel, block_until_ready returns before the
+    # computation finishes; a host transfer is the only reliable fence
+    return float(jnp.sum(x).astype(jnp.float32))
+
+
+def _bench(fn, args, iters=20, warmup=3):
+    for _ in range(warmup):
+        _sync(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from outeffhop_tpu.models.bert import BertConfig, bert_mlm_forward, init_bert_params
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        batch, seq, layers = 32, 128, 12
+    else:  # CPU smoke: tiny shapes so the script always completes
+        batch, seq, layers = 4, 128, 2
+
+    cfg = BertConfig(
+        num_hidden_layers=layers,
+        attn_softmax="softmax1",
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    params = init_bert_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x is not None and x.dtype == jnp.float32 else x,
+        params,
+        is_leaf=lambda x: x is None,
+    )
+    rs = np.random.RandomState(0)
+    input_ids = jnp.asarray(rs.randint(0, cfg.vocab_size, (batch, seq)), jnp.int32)
+    mask = jnp.ones((batch, seq), jnp.int32)
+
+    def fwd(use_flash):
+        @jax.jit
+        def f(params, input_ids, mask):
+            return bert_mlm_forward(
+                params, cfg, input_ids, mask, deterministic=True, use_flash=use_flash
+            )
+
+        return f
+
+    t_base = _bench(fwd(False), (params, input_ids, mask))
+    t_flash = _bench(fwd(on_tpu), (params, input_ids, mask))
+
+    tokens_per_s = batch * seq / t_flash
+    print(
+        json.dumps(
+            {
+                "metric": "bert_base_softmax1_mlm_inference_bf16",
+                "value": round(tokens_per_s, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(t_base / t_flash, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,444 @@
+"""OPT decoder + causal LM head with OutEffHop attention extras.
+
+Functional re-design of the reference's surgically-modified HF OPT
+(`run_clm.py:216` surgery, `transformers_language/models/opt_attention.py`,
+`quantized_opt.py`). Feature parity notes:
+
+  * scaling folded into the query projection output
+    (`opt_attention.py:167`: q = q_proj(x) * d_head^-0.5);
+  * post-mask clamp to finfo.min (`opt_attention.py:225-228`);
+  * softmax upcast to fp32 when running reduced precision
+    (`opt_attention.py:227-230`) — we always compute the softmax in fp32;
+  * learned positional embedding with the cumsum-of-mask position ids and
+    offset 2 (`quantized_opt.py:27-51`);
+  * pre-LN (125m/1.3b …) and post-LN (350m) layer orders, project_in/out for
+    word_embed_proj_dim != hidden (`quantized_opt.py:387-...`);
+  * reference bug NOT replicated: `opt_attention.py:73` compares
+    `attn_softmax is "softmax1"` with `is`, which is always False in practice,
+    so the alpha mode always uses clipped_softmax. We reproduce that behavior
+    (alpha → clipped_softmax) and expose `alpha_softmax1=True` to get the
+    clearly-intended clipped_softmax1 path.
+
+Quant sites match `QuantizedOPT*`: embed_tokens/embed_positions weight-
+quantized, embed-sum requant (`:569`), q/k/v/out_proj QuantLinear, scores /
+probs / context act sites (`:154,182,210`), both residual sums requantized
+(`self_attn_res`/`ffn_res`, `:345,369`), fc1+ReLU folded (`:292-294`), LNs
+hijack-quantized, lm_head per `quant_setup` policy (`:733-756` — handled by
+naming it "head.lm" so the config's fp32_head policies apply).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from outeffhop_tpu.models import common
+from outeffhop_tpu.ops.attention import (
+    AttentionExtrasConfig,
+    apply_gate,
+    attention_extras_params,
+    split_heads,
+    merge_heads,
+)
+from outeffhop_tpu.ops.softmax_variants import clipped_softmax, clipped_softmax1, resolve_softmax
+from outeffhop_tpu.ops.telemetry import NULL_TAPE, ScopedTape
+from outeffhop_tpu.quant.calibrate import NULL_QCTX, ScopedQuantCtx
+
+Array = jax.Array
+
+POS_OFFSET = 2  # OPT's learned positional embedding offset
+
+
+@dataclasses.dataclass(frozen=True)
+class OPTConfig:
+    vocab_size: int = 50272
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    ffn_dim: int = 3072
+    max_position_embeddings: int = 2048
+    word_embed_proj_dim: Optional[int] = None  # != hidden → project_in/out (350m)
+    do_layer_norm_before: bool = True  # False for 350m
+    dropout: float = 0.1
+    layer_norm_eps: float = 1e-5
+    # attention extras
+    attn_softmax: str = "vanilla"
+    alpha: Optional[float] = None
+    max_seq_length: Optional[int] = None
+    alpha_softmax1: bool = False  # intended-but-buggy reference path, opt-in
+    skip_attn: bool = False
+    attn_gate_type: str = "none"
+    attn_gate_init: Optional[float] = None
+    attn_gate_mlp: bool = False
+    attn_gate_mlp2: bool = False
+    attn_gate_linear_all_features: bool = False
+    fine_tuning: bool = False
+
+    @property
+    def embed_dim(self) -> int:
+        return self.word_embed_proj_dim or self.hidden_size
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    def attention_config(self) -> AttentionExtrasConfig:
+        return AttentionExtrasConfig(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_attention_heads,
+            softmax=self.attn_softmax,
+            gate_type=self.attn_gate_type,
+            gate_init=self.attn_gate_init,
+            gate_mlp=self.attn_gate_mlp,
+            gate_mlp2=self.attn_gate_mlp2,
+            gate_linear_all_features=self.attn_gate_linear_all_features,
+            fine_tuning=self.fine_tuning,
+            dropout_rate=self.dropout,
+        )
+
+    def softmax_fn(self):
+        if self.alpha is not None:
+            assert self.max_seq_length is not None
+            gamma = -self.alpha / self.max_seq_length
+            fn = clipped_softmax1 if self.alpha_softmax1 else clipped_softmax
+            import functools
+
+            return functools.partial(fn, gamma=gamma, eta=1.0)
+        return resolve_softmax(self.attn_softmax)
+
+
+def init_opt_params(key, cfg: OPTConfig):
+    keys = jax.random.split(key, cfg.num_hidden_layers + 3)
+    h, e, f = cfg.hidden_size, cfg.embed_dim, cfg.ffn_dim
+    acfg = cfg.attention_config()
+    ek = jax.random.split(keys[0], 4)
+    params = {
+        "embed_tokens": common.embedding_params(ek[0], cfg.vocab_size, e),
+        "embed_positions": common.embedding_params(
+            ek[1], cfg.max_position_embeddings + POS_OFFSET, h
+        ),
+        "final_ln": common.ln_params(h),
+        "layers": [],
+    }
+    if e != h:
+        params["project_in"] = {
+            "weight": jax.random.normal(ek[2], (h, e)) * 0.02, "bias": None
+        }
+        params["project_out"] = {
+            "weight": jax.random.normal(ek[3], (e, h)) * 0.02, "bias": None
+        }
+    for i in range(cfg.num_hidden_layers):
+        lk = jax.random.split(keys[i + 1], 4)
+        attn = attention_extras_params(lk[0], acfg)
+        attn["out_proj"] = common.dense_params(lk[1], h, h)
+        # torch naming: q_proj/k_proj/v_proj
+        attn["q_proj"] = attn.pop("query")
+        attn["k_proj"] = attn.pop("key")
+        attn["v_proj"] = attn.pop("value")
+        params["layers"].append(
+            {
+                "self_attn": attn,
+                "self_attn_ln": common.ln_params(h),
+                "fc1": common.dense_params(lk[2], h, f),
+                "fc2": common.dense_params(lk[3], f, h),
+                "final_ln": common.ln_params(h),
+            }
+        )
+    params["head"] = {"lm": {"weight": None}}  # tied to embed_tokens by default
+    return params
+
+
+def causal_mask_bias(
+    attention_mask: Array, t_q: int, past_len: int = 0, dtype=jnp.float32
+) -> Array:
+    """(B, S) padding mask → (B, 1, T, S) combined causal+padding additive mask
+    (HF `_prepare_decoder_attention_mask`, quantized_opt.py:432-457)."""
+    b, s = attention_mask.shape
+    neg = jnp.finfo(dtype).min
+    pad = (1.0 - attention_mask[:, None, None, :].astype(dtype)) * neg
+    if t_q > 1:
+        q_pos = jnp.arange(t_q)[:, None] + past_len
+        k_pos = jnp.arange(s)[None, :]
+        causal = jnp.where(q_pos >= k_pos, 0.0, neg).astype(dtype)
+        return pad + causal[None, None]
+    return pad
+
+
+def opt_positions(attention_mask: Array, past_len: int = 0) -> Array:
+    """cumsum-of-mask position ids (`quantized_opt.py:27-51`)."""
+    pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) * attention_mask.astype(
+        jnp.int32
+    ) - 1
+    return pos[:, past_len:] + POS_OFFSET
+
+
+def opt_attention(
+    params,
+    cfg: OPTConfig,
+    hidden_states: Array,
+    attention_mask: Optional[Array],
+    *,
+    q: ScopedQuantCtx = NULL_QCTX,
+    tape: ScopedTape = NULL_TAPE,
+    past_key_value: Optional[Tuple[Array, Array]] = None,
+    padding_bias: Optional[Array] = None,
+    dropout_rng=None,
+    deterministic: bool = True,
+    use_flash: bool = False,
+) -> Tuple[Array, Optional[Tuple[Array, Array]]]:
+    """OPT self-attention with extras; scaling folded into q
+    (opt_attention.py:167)."""
+    n_heads = cfg.num_attention_heads
+    scaling = cfg.head_dim**-0.5
+    acfg = cfg.attention_config()
+
+    q_states = common.dense(params["q_proj"], hidden_states, q, "q_proj") * scaling
+    k_states = split_heads(common.dense(params["k_proj"], hidden_states, q, "k_proj"), n_heads)
+    v_states = split_heads(common.dense(params["v_proj"], hidden_states, q, "v_proj"), n_heads)
+    if past_key_value is not None:
+        k_states = jnp.concatenate([past_key_value[0], k_states], axis=2)
+        v_states = jnp.concatenate([past_key_value[1], v_states], axis=2)
+    q_states = split_heads(q_states, n_heads)
+    new_past = (k_states, v_states)
+
+    flash_ok = (
+        use_flash
+        and not tape.enabled
+        and not q.enabled
+        and cfg.attn_softmax in ("vanilla", "softmax1")
+        and cfg.alpha is None
+        and cfg.attn_gate_type == "none"
+        and (deterministic or cfg.dropout == 0.0)
+    )
+    if flash_ok:
+        from outeffhop_tpu.ops.flash import flash_attention
+
+        context = flash_attention(
+            q_states,
+            k_states,
+            v_states,
+            bias=padding_bias,
+            softmax_n=1.0 if cfg.attn_softmax == "softmax1" else 0.0,
+            scale=1.0,  # already folded into q
+            causal=q_states.shape[2] > 1,
+        )
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q_states, k_states)
+        scores = tape.record("attn_scores", scores)
+        scores = q.act("attn_scores", scores)
+        if attention_mask is not None:
+            scores = scores + attention_mask
+            scores = jnp.maximum(scores, jnp.finfo(scores.dtype).min)  # :225-228
+        probs = cfg.softmax_fn()(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+        probs = tape.record("attn_probs_before_dropout", probs)
+        probs = q.act("attn_probs", probs)
+        probs = common.dropout(probs, cfg.dropout, dropout_rng, deterministic)
+        probs = tape.record("attn_probs_after_dropout", probs)
+        context = jnp.einsum("bhqk,bhkd->bhqd", probs, v_states)
+
+    if cfg.attn_gate_type != "none":
+        context = apply_gate(context, params.get("gate"), acfg, hidden_states, tape)
+
+    context = merge_heads(context)
+    context = q.act("context", context)
+    out = common.dense(params["out_proj"], context, q, "out_proj")
+    return out, new_past
+
+
+def opt_decoder_layer(
+    params,
+    cfg: OPTConfig,
+    x: Array,
+    attention_mask: Optional[Array],
+    *,
+    q: ScopedQuantCtx = NULL_QCTX,
+    tape: ScopedTape = NULL_TAPE,
+    past_key_value=None,
+    padding_bias=None,
+    dropout_rng=None,
+    deterministic: bool = True,
+    use_flash: bool = False,
+):
+    """Pre-/post-LN decoder layer with requantized residual sums
+    (`QuantizedOPTDecoderLayer.forward`, quantized_opt.py:302-384)."""
+    rngs = jax.random.split(dropout_rng, 3) if dropout_rng is not None else [None] * 3
+    residual = x
+    h = x
+    if cfg.do_layer_norm_before:
+        h = common.quant_layer_norm(params["self_attn_ln"], h, q, "self_attn_ln", cfg.layer_norm_eps)
+    h, new_past = opt_attention(
+        params["self_attn"], cfg, h, attention_mask,
+        q=q.scoped("self_attn"), tape=tape.scoped("self_attn"),
+        past_key_value=past_key_value, padding_bias=padding_bias,
+        dropout_rng=rngs[0], deterministic=deterministic, use_flash=use_flash,
+    )
+    h = common.dropout(h, cfg.dropout, rngs[1], deterministic)
+    h = residual + h
+    h = q.act("self_attn_res", h)  # :345
+    if not cfg.do_layer_norm_before:
+        h = common.quant_layer_norm(params["self_attn_ln"], h, q, "self_attn_ln", cfg.layer_norm_eps)
+
+    residual = h
+    f = h
+    if cfg.do_layer_norm_before:
+        f = common.quant_layer_norm(params["final_ln"], f, q, "final_ln", cfg.layer_norm_eps)
+    f = common.dense(params["fc1"], f, q, "fc1", activation=jax.nn.relu)  # folded ReLU :292-294
+    f = common.dense(params["fc2"], f, q, "fc2")
+    f = tape.record("fc2", f)
+    f = common.dropout(f, cfg.dropout, rngs[2], deterministic)
+    h = residual + f
+    h = q.act("ffn_res", h)  # :369
+    h = tape.record("ffn_res", h)
+    if not cfg.do_layer_norm_before:
+        h = common.quant_layer_norm(params["final_ln"], h, q, "final_ln", cfg.layer_norm_eps)
+    return h, new_past
+
+
+def opt_forward(
+    params,
+    cfg: OPTConfig,
+    input_ids: Array,
+    attention_mask: Optional[Array] = None,
+    *,
+    q: ScopedQuantCtx = NULL_QCTX,
+    tape: ScopedTape = NULL_TAPE,
+    past_key_values=None,
+    dropout_rng=None,
+    deterministic: bool = True,
+    use_flash: bool = False,
+):
+    """OPT decoder + LM head → (logits, new_past_key_values).
+
+    `attention_mask` is the (B, S) 1/0 padding mask over the FULL sequence
+    (past + current); the combined causal mask is built internally.
+    """
+    b, t = input_ids.shape
+    past_len = past_key_values[0][0].shape[2] if past_key_values is not None else 0
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, past_len + t), jnp.int32)
+
+    x = common.embedding(params["embed_tokens"], input_ids, q, "embed_tokens")
+    pos_ids = opt_positions(attention_mask, past_len)
+    pos = common.embedding(params["embed_positions"], pos_ids, q, "embed_positions")
+    if "project_in" in params:
+        w = q.weight("project_in", params["project_in"]["weight"])
+        x = x @ w.T
+        x = q.act("project_in", x)
+    h = x + pos
+    h = q.act("embed_sum", h)  # quantized_opt.py:569
+
+    combined_mask = causal_mask_bias(attention_mask, t, past_len)
+    padding_bias = (
+        (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * jnp.finfo(jnp.float32).min
+    )
+    new_past = []
+    rngs = (
+        jax.random.split(dropout_rng, cfg.num_hidden_layers)
+        if dropout_rng is not None
+        else [None] * cfg.num_hidden_layers
+    )
+    h = common.dropout(h, cfg.dropout, rngs[0], deterministic)
+    for i, lp in enumerate(params["layers"]):
+        pkv = past_key_values[i] if past_key_values is not None else None
+        h, np_i = opt_decoder_layer(
+            lp, cfg, h, combined_mask,
+            q=q.scoped(f"layer{i}"), tape=tape.scoped(f"layer{i}"),
+            past_key_value=pkv, padding_bias=padding_bias,
+            dropout_rng=rngs[i], deterministic=deterministic, use_flash=use_flash,
+        )
+        new_past.append(np_i)
+    h = common.quant_layer_norm(params["final_ln"], h, q, "final_ln", cfg.layer_norm_eps)
+    h = tape.record("final_ln", h)
+    if "project_out" in params:
+        w = q.weight("project_out", params["project_out"]["weight"])
+        h = h @ w.T
+        h = q.act("project_out", h)
+    lm_w = params["head"]["lm"]["weight"]
+    if lm_w is None:
+        lm_w = params["embed_tokens"]["weight"]  # tied
+    lm_w = q.weight("head.lm", lm_w)  # fp32_head policies skip this site
+    logits = h @ lm_w.T
+    logits = q.act("head.lm", logits)
+    return logits, new_past
+
+
+def clm_loss(logits: Array, labels: Array, ignore_index: int = -100) -> Array:
+    """Shifted causal-LM cross entropy; exp(loss) is the reference perplexity
+    (`validate_clm.py:588-594`; labels = input_ids, run_clm.py packing)."""
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    mask = shift_labels != ignore_index
+    safe = jnp.where(mask, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(jnp.where(mask, nll, 0.0)) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def greedy_generate(
+    params,
+    cfg: OPTConfig,
+    input_ids: Array,
+    max_new_tokens: int,
+    *,
+    use_flash: bool = False,
+) -> Array:
+    """Static-shape greedy decoding with a preallocated KV cache (the serving
+    path; the reference has no generation stack at all — this is new
+    capability required by the north star)."""
+    b, t0 = input_ids.shape
+    total = t0 + max_new_tokens
+
+    # prefill
+    mask = jnp.ones((b, t0), jnp.int32)
+    logits, past = opt_forward(params, cfg, input_ids, mask, use_flash=use_flash)
+    next_tok = jnp.argmax(logits[:, -1], axis=-1)
+
+    # preallocate cache to `total` and copy prefill
+    n_layers = cfg.num_hidden_layers
+    h, d = cfg.num_attention_heads, cfg.head_dim
+    cache_k = jnp.zeros((n_layers, b, h, total, d), logits.dtype)
+    cache_v = jnp.zeros((n_layers, b, h, total, d), logits.dtype)
+    for i, (k_i, v_i) in enumerate(past):
+        cache_k = cache_k.at[i, :, :, :t0].set(k_i.astype(logits.dtype))
+        cache_v = cache_v.at[i, :, :, :t0].set(v_i.astype(logits.dtype))
+
+    tokens = jnp.zeros((b, total), jnp.int32)
+    tokens = tokens.at[:, :t0].set(input_ids)
+    tokens = tokens.at[:, t0].set(next_tok)
+
+    def step(carry, i):
+        tokens, cache_k, cache_v = carry
+        cur = jax.lax.dynamic_slice_in_dim(tokens, t0 + i, 1, axis=1)
+        pos_len = t0 + i
+        # single-token decode against the full preallocated cache: valid past
+        # slots are [0, pos_len); the current token's K/V is appended at the
+        # end, so its mask slot is always 1 (and its cumsum position id is
+        # pos_len + POS_OFFSET, as required).
+        past_valid = (jnp.arange(total)[None, :] < pos_len).astype(jnp.int32)
+        attn_mask = jnp.concatenate(
+            [jnp.broadcast_to(past_valid, (b, total)), jnp.ones((b, 1), jnp.int32)], axis=1
+        )
+        past_list = [(cache_k[l], cache_v[l]) for l in range(n_layers)]
+        logits, new_past = opt_forward(
+            params, cfg, cur, attn_mask, past_key_values=past_list, use_flash=False
+        )
+        # new_past concatenated past+current has length total+1; instead write
+        # the current k/v directly at position pos_len
+        for l, (k_i, v_i) in enumerate(new_past):
+            cache_k = cache_k.at[l, :, :, pos_len].set(k_i[:, :, -1].astype(cache_k.dtype))
+            cache_v = cache_v.at[l, :, :, pos_len].set(v_i[:, :, -1].astype(cache_v.dtype))
+        nxt = jnp.argmax(logits[:, -1], axis=-1)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, nxt[:, None].astype(jnp.int32), t0 + i + 1, axis=1
+        )
+        return (tokens, cache_k, cache_v), None
+
+    if max_new_tokens > 1:
+        (tokens, _, _), _ = jax.lax.scan(
+            step, (tokens, cache_k, cache_v), jnp.arange(max_new_tokens - 1)
+        )
+    return tokens

@@ -1,0 +1,430 @@
+"""Fused softmax_n flash attention — the framework's headline Pallas kernel.
+
+The reference computes attention as three separate cuBLAS/elementwise ops
+(QK^T matmul → softmax_1 → PV matmul, `bert_attention.py:222-292`), leaving the
+(B, H, T, T) score tensor in HBM. Here the whole pipeline is one Pallas kernel
+using the online-softmax (flash) recurrence, extended to softmax_n:
+
+    softmax_n needs denominator  n·exp(-max) + Σ exp(s - max).
+    The online recurrence already rescales the running denominator by
+    exp(m_old - m_new) at each block, which is exactly how the shifted zero
+    term must track the running max — so softmax_n costs ONE extra term added
+    to the final denominator: out = acc / (l_final + n·exp(-m_final)).
+
+This preserves the reference's stability semantics exactly
+(`vutils/softmax_1.py:4-21`: the phantom zero logit is shifted by the same max
+as the real logits; softmax_n is not shift-invariant).
+
+Supports: additive padding bias (B, 1, 1, K) (BERT/OPT mask layout), causal
+masking (OPT decoder), arbitrary n (0 = vanilla flash attention, 1 = OutEffHop
+softmax_1). Clipped/entmax variants intentionally stay on the XLA path: the
+stretch-and-clip acts on *normalized* probabilities and cannot commute with
+online accumulation (SURVEY.md §7 hard parts).
+
+K/V stream through VMEM in `block_k` chunks via the grid's innermost
+dimension, so sequence length is bounded by HBM, not VMEM; Pallas double-
+buffers the K/V block DMAs automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+NEG_INF = -1e30  # large-negative mask fill that survives fp32 exp arithmetic
+
+
+def _scores(
+    q_ref, k_ref, bias_ref, iq, ik, *, scale, causal, block_q, block_k, causal_offset=0
+):
+    """Scaled, biased, (optionally) causally-masked scores block in f32.
+    The QK^T dot runs in the inputs' native dtype (bf16 on the fast path) with
+    f32 accumulation — upcasting before the dot would force the MXU off its
+    bf16 path (4x slower). Causal masking is end-aligned when t_q != t_k
+    (query i attends to keys ≤ i + (t_k - t_q)), matching jnp.tril(k=t_k-t_q)
+    in `attention_reference`."""
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    if bias_ref is not None:
+        s = s + bias_ref[0].astype(jnp.float32)  # (1, bk) broadcasts
+    if causal:
+        q_pos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_pos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(q_pos + causal_offset >= k_pos, s, NEG_INF)
+    return s
+
+
+def _flash_kernel_onepass(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, softmax_n, causal, block_q, block_k,
+    causal_offset=0,
+):
+    """Single K-block variant (t_k fits one block): whole-row softmax_n with no
+    online recurrence or scratch round-trips — the fast path at the reference's
+    sequence lengths (128/512/197 keys)."""
+    s = _scores(
+        q_ref, k_ref, bias_ref, pl.program_id(1), 0,
+        scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        causal_offset=causal_offset,
+    )
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + softmax_n * jnp.exp(-m)
+    p = p / denom
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = pv.astype(o_ref.dtype)
+
+
+def _flash_kernel(
+    q_ref,      # (1, block_q, D)
+    k_ref,      # (1, block_k, D)
+    v_ref,      # (1, block_k, D)
+    bias_ref,   # (1, 1, block_k) or None
+    o_ref,      # (1, block_q, D)
+    m_scratch,  # (block_q, 128) f32
+    l_scratch,  # (block_q, 128) f32
+    acc_scratch,  # (block_q, D) f32
+    *,
+    scale: float,
+    softmax_n: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    causal_offset: int = 0,
+):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    # causal: whole block above the diagonal → skip all work
+    run = True
+    if causal:
+        run = iq * block_q + block_q - 1 + causal_offset >= ik * block_k
+
+    @pl.when(run)
+    def _body():
+        s = _scores(
+            q_ref, k_ref, bias_ref, iq, ik,
+            scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+            causal_offset=causal_offset,
+        )
+        m_prev = m_scratch[:, :1]                          # (bq, 1)
+        l_prev = l_scratch[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)         # (bq, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                             # (bq, bk) f32
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scratch[:] = acc_scratch[:] * alpha + pv
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        m_fin = m_scratch[:, :1]
+        l_fin = l_scratch[:, :1]
+        # softmax_n: the phantom n zero-logits, shifted by the running max
+        denom = l_fin + softmax_n * jnp.exp(-m_fin)
+        o_ref[0] = (acc_scratch[:] / denom).astype(o_ref.dtype)
+
+
+def _batched_onepass_kernel(
+    q_ref,     # (bb, T_q, D)
+    k_ref,     # (bb, T_k, D)
+    v_ref,     # (bb, T_k, D)
+    bias_ref,  # (bb, 1, T_k) or None
+    o_ref,     # (bb, T_q, D)
+    *,
+    scale,
+    softmax_n,
+    causal,
+    causal_offset,
+    t_q,
+    t_k,
+):
+    """Short-sequence path: the whole (T_q, T_k) score tile fits VMEM, so fuse
+    `block_bh` head-slices into ONE program with batched MXU matmuls. At the
+    reference's sequence lengths (128/197/512) the per-program work of a
+    single (bq, d) tile is too small to amortize grid overhead — batching
+    heads is what makes the kernel beat XLA's fused unblocked attention."""
+    q = q_ref[...]
+    k = k_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (bb, T_q, T_k)
+    s = s * scale
+    if bias_ref is not None:
+        s = s + bias_ref[...].astype(jnp.float32)
+    if causal:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (1, t_q, t_k), 1)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (1, t_q, t_k), 2)
+        s = jnp.where(q_pos + causal_offset >= k_pos, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + softmax_n * jnp.exp(-m)
+    p = p / denom
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[...], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = pv.astype(o_ref.dtype)
+
+
+def _flash_attention_short(
+    qr, kr, vr, bias, b, h, *, scale, softmax_n, causal, causal_offset,
+    interpret=False,
+):
+    """(b*h, T, D) short-seq dispatch: grid over head-slices only."""
+    bh, t_q, d = qr.shape
+    t_k = kr.shape[1]
+    # ~2MB f32 score tile per program
+    block_bh = max(1, min(bh, (2 * 1024 * 1024) // (4 * t_q * t_k)))
+    while bh % block_bh:
+        block_bh -= 1
+    grid = (bh // block_bh,)
+    in_specs = [
+        pl.BlockSpec((block_bh, t_q, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((block_bh, t_k, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((block_bh, t_k, d), lambda i: (i, 0, 0)),
+    ]
+    args = [qr, kr, vr]
+    if bias is not None:
+        # bias arrives as (b|1, 1, t_k); broadcast across heads so one block
+        # spec covers arbitrary block_bh (tiny: b*h*t_k*4 bytes)
+        if bias.shape[0] == 1:
+            bias = jnp.broadcast_to(bias, (bh, 1, t_k))
+        else:
+            bias = jnp.broadcast_to(bias[:, None], (bias.shape[0], h, 1, t_k)).reshape(
+                bh, 1, t_k
+            )
+        in_specs.append(pl.BlockSpec((block_bh, 1, t_k), lambda i: (i, 0, 0)))
+        args.append(bias)
+
+    kernel = functools.partial(
+        _batched_onepass_kernel if bias is not None else _batched_onepass_kernel_nobias,
+        scale=scale,
+        softmax_n=softmax_n,
+        causal=causal,
+        causal_offset=causal_offset,
+        t_q=t_q,
+        t_k=t_k,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_bh, t_q, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, t_q, d), qr.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t_q * t_k * d,
+            bytes_accessed=(qr.size + kr.size + vr.size + qr.size) * qr.dtype.itemsize,
+            transcendentals=bh * t_q * t_k,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _batched_onepass_kernel_nobias(q_ref, k_ref, v_ref, o_ref, **kw):
+    _batched_onepass_kernel(q_ref, k_ref, v_ref, None, o_ref, **kw)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softmax_n", "scale", "causal", "block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    bias: Optional[Array] = None,
+    *,
+    softmax_n: float = 0.0,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    block_q: int = 512,
+    block_k: int = 2048,
+    interpret: bool = False,
+) -> Array:
+    """Fused softmax_n attention.
+
+    Args:
+      q, k, v: (B, H, T, D) (T_q may differ from T_k).
+      bias: optional additive mask, shape (B, 1, 1, T_k) — the HF extended
+        attention mask layout. Large-negative = masked.
+      softmax_n: the n in softmax_n (0 → vanilla softmax, 1 → softmax_1).
+      scale: score scale; default 1/sqrt(D) (applied BEFORE the bias, matching
+        bert_attention.py:265-276 order: scores/sqrt(d) + mask → softmax).
+      causal: lower-triangular masking (OPT decoder).
+
+    Returns (B, H, T_q, D) in q's dtype.
+    """
+    b, h, t_q, d = q.shape
+    t_k = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    block_q = min(block_q, _ceil_to(t_q, 8))
+    block_k = min(block_k, _ceil_to(t_k, 8))
+    t_q_pad = _ceil_to(t_q, block_q)
+    t_k_pad = _ceil_to(t_k, block_k)
+
+    qr = q.reshape(b * h, t_q, d)
+    kr = k.reshape(b * h, t_k, d)
+    vr = v.reshape(b * h, t_k, d)
+    if t_q_pad != t_q:
+        qr = jnp.pad(qr, ((0, 0), (0, t_q_pad - t_q), (0, 0)))
+    if t_k_pad != t_k:
+        kr = jnp.pad(kr, ((0, 0), (0, t_k_pad - t_k), (0, 0)))
+        vr = jnp.pad(vr, ((0, 0), (0, t_k_pad - t_k), (0, 0)))
+        pad_bias = jnp.full((1, 1, t_k_pad - t_k), NEG_INF, jnp.float32)
+        if bias is None:
+            bias = jnp.concatenate(
+                [jnp.zeros((1, 1, t_k), jnp.float32), pad_bias], axis=-1
+            )
+        else:
+            bias = jnp.concatenate(
+                [
+                    jnp.maximum(bias.reshape(b, 1, t_k).astype(jnp.float32), NEG_INF),
+                    jnp.broadcast_to(pad_bias, (b, 1, t_k_pad - t_k)),
+                ],
+                axis=-1,
+            )
+    elif bias is not None:
+        bias = jnp.maximum(bias.reshape(b, 1, t_k).astype(jnp.float32), NEG_INF)
+
+    # short-sequence path: whole (T_q, T_k) score tile fits VMEM → fuse heads
+    if t_q_pad * t_k_pad * 4 <= 2 * 1024 * 1024:
+        out = _flash_attention_short(
+            qr, kr, vr, bias, b, h,
+            scale=scale, softmax_n=softmax_n, causal=causal,
+            causal_offset=t_k - t_q, interpret=interpret,
+        )
+        return out[:, :t_q].reshape(b, h, t_q, d)
+
+    onepass = t_k_pad == block_k  # whole K in one block: no online recurrence
+    grid = (b * h, t_q_pad // block_q, t_k_pad // block_k)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
+    ]
+    args = [qr, kr, vr]
+    if bias is not None:
+        nbias = bias.shape[0]
+        if nbias == 1:
+            in_specs.append(pl.BlockSpec((1, 1, block_k), lambda bh, iq, ik: (0, 0, ik)))
+        else:
+            in_specs.append(
+                pl.BlockSpec((1, 1, block_k), lambda bh, iq, ik: (bh // h, 0, ik))
+            )
+        args.append(bias)
+
+    if onepass:
+        base = _flash_kernel_onepass if bias is not None else _flash_kernel_onepass_nobias
+        scratch = []
+    else:
+        base = _flash_kernel if bias is not None else _flash_kernel_nobias
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
+    kernel = functools.partial(
+        base,
+        scale=scale,
+        softmax_n=softmax_n,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+        causal_offset=t_k - t_q,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_q_pad, d), q.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * t_q_pad * t_k_pad * d,
+            bytes_accessed=(qr.size + kr.size + vr.size) * qr.dtype.itemsize
+            + b * h * t_q_pad * d * q.dtype.itemsize,
+            transcendentals=b * h * t_q_pad * t_k_pad,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:, :t_q].reshape(b, h, t_q, d)
+
+
+def _flash_kernel_nobias(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, **kw):
+    _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, m_s, l_s, acc_s, **kw)
+
+
+def _flash_kernel_onepass_nobias(q_ref, k_ref, v_ref, o_ref, **kw):
+    _flash_kernel_onepass(q_ref, k_ref, v_ref, None, o_ref, **kw)
+
+
+# --------------------------------------------------------------------------
+# jnp reference implementation (for kernel tests & non-TPU fallback)
+# --------------------------------------------------------------------------
+
+
+def attention_reference(
+    q: Array,
+    k: Array,
+    v: Array,
+    bias: Optional[Array] = None,
+    *,
+    softmax_n: float = 0.0,
+    scale: Optional[float] = None,
+    causal: bool = False,
+) -> Array:
+    from outeffhop_tpu.ops.softmax_variants import softmax_n as softmax_n_fn
+
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    if causal:
+        t_q, t_k = s.shape[-2:]
+        mask = jnp.tril(jnp.ones((t_q, t_k), bool), k=t_k - t_q)
+        s = jnp.where(mask, s, NEG_INF)
+    p = softmax_n_fn(s, softmax_n, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v).astype(q.dtype)

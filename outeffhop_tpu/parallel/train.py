@@ -1,0 +1,198 @@
+"""Sharded training step — TPU-native equivalent of the reference's
+accelerate/DDP train loops (`run_mlm.py:437-673`, `run_clm.py:460-480`).
+
+The reference's optimizer recipe is reproduced exactly:
+
+  * AdamW with TWO param groups — weight decay applied to everything except
+    biases and LayerNorm weights (`run_mlm.py:437-450`); implemented as an
+    optax mask, which is the functional equivalent of the group split.
+  * BERT MLM: lr 1e-4, linear warmup+decay, clip 1.0 (`submit_outlier_bert.sh`).
+  * OPT CLM: betas (0.9, 0.95) per the OPT paper (`run_clm.py:460-462`) and the
+    warmup/total-step stretch for `final_lr_fraction`
+    (`a = 1/(1-(1-w)*eps)`, `run_clm.py:470-480`).
+  * Gradient accumulation (`accelerator.accumulate`) → `optax.MultiSteps`.
+
+DDP's gradient all-reduce is not written anywhere here: the batch is sharded on
+the mesh's `data` axis and params are replicated over it, so XLA emits the
+cross-replica psum inside the jitted step (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from outeffhop_tpu.parallel.mesh import batch_pspec
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def decay_mask(params):
+    """True where weight decay applies: everything except biases and LN/gate
+    scalars (`run_mlm.py:437-450` no_decay = ["bias", "LayerNorm.weight"])."""
+
+    def is_decay(path, leaf):
+        if leaf is None:
+            return False
+        names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        if names and names[-1] == "bias":
+            return False
+        # LN params are {"weight","bias"} under a key containing "ln"
+        if any("ln" in n.lower() for n in names):
+            return False
+        if any("gate" in n.lower() for n in names):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(
+        is_decay, params, is_leaf=lambda x: x is None
+    )
+
+
+def linear_schedule_with_stretch(
+    lr: float,
+    warmup_steps: int,
+    total_steps: int,
+    final_lr_fraction: float = 0.0,
+) -> optax.Schedule:
+    """Linear warmup → linear decay; when final_lr_fraction=eps>0, stretch the
+    decay so the schedule hits lr*eps exactly at `total_steps`
+    (`run_clm.py:470-480`: a = 1/(1-(1-w)*eps), applied to warmup & total)."""
+    if final_lr_fraction > 0.0:
+        w = warmup_steps / total_steps
+        a = 1.0 / (1.0 - (1.0 - w) * final_lr_fraction)
+        warmup_steps = int(round(a * warmup_steps))
+        total_steps = int(round(a * total_steps))
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        warm = count / jnp.maximum(warmup_steps, 1)
+        decay = (total_steps - count) / jnp.maximum(total_steps - warmup_steps, 1)
+        return lr * jnp.clip(jnp.where(count < warmup_steps, warm, decay), 0.0, 1.0)
+
+    return schedule
+
+
+def make_adamw(
+    params,
+    lr: float = 1e-4,
+    *,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 0.01,
+    warmup_steps: int = 0,
+    total_steps: int = 1,
+    final_lr_fraction: float = 0.0,
+    clip_norm: Optional[float] = 1.0,
+    accum_steps: int = 1,
+) -> optax.GradientTransformation:
+    sched = linear_schedule_with_stretch(lr, warmup_steps, total_steps, final_lr_fraction)
+    chain = []
+    if clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(clip_norm))
+    chain.append(
+        optax.adamw(
+            sched,
+            b1=betas[0],
+            b2=betas[1],
+            eps=eps,
+            weight_decay=weight_decay,
+            mask=decay_mask(params),
+        )
+    )
+    tx = optax.chain(*chain)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
+
+
+def _make_train_step(loss_fn: Callable, tx: optax.GradientTransformation):
+    def train_step(state: TrainState, batch, dropout_rng):
+        rng = jax.random.fold_in(dropout_rng, state.step)
+
+        def loss_of(params):
+            return loss_fn(params, batch, rng)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt),
+            loss,
+        )
+
+    return train_step
+
+
+def make_mlm_train_step(cfg, tx, mesh: Optional[Mesh] = None, use_flash: bool = False):
+    """BERT MLM train step: batch = dict(input_ids, attention_mask, labels)."""
+    from outeffhop_tpu.models.bert import bert_mlm_forward, mlm_loss
+
+    def loss_fn(params, batch, rng):
+        logits = bert_mlm_forward(
+            params,
+            cfg,
+            batch["input_ids"],
+            batch.get("attention_mask"),
+            dropout_rng=rng,
+            deterministic=False,
+            use_flash=use_flash,
+        )
+        return mlm_loss(logits, batch["labels"])
+
+    step = _make_train_step(loss_fn, tx)
+    if mesh is not None:
+        return _sharded_step(step, mesh)
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_clm_train_step(cfg, tx, mesh: Optional[Mesh] = None, use_flash: bool = False):
+    """OPT CLM train step: batch = dict(input_ids, attention_mask, labels)
+    with labels = input_ids (`run_clm.py` block packing)."""
+    from outeffhop_tpu.models.opt import clm_loss, opt_forward
+
+    def loss_fn(params, batch, rng):
+        logits, _ = opt_forward(
+            params,
+            cfg,
+            batch["input_ids"],
+            batch.get("attention_mask"),
+            dropout_rng=rng,
+            deterministic=False,
+            use_flash=use_flash,
+        )
+        return clm_loss(logits, batch["labels"])
+
+    step = _make_train_step(loss_fn, tx)
+    if mesh is not None:
+        return _sharded_step(step, mesh)
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def _sharded_step(step, mesh: Mesh):
+    """jit the step with batch sharded on `data`; param/opt-state shardings are
+    taken from the (already device_put) state and propagated by XLA."""
+    batch_sharding = NamedSharding(mesh, batch_pspec())
+
+    return jax.jit(
+        step,
+        in_shardings=(None, batch_sharding, None),
+        donate_argnums=(0,),
+    )
+
+
+def init_train_state(params, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
+    )

@@ -132,3 +132,49 @@ def bert_params_from_state_dict(sd: Mapping[str, np.ndarray], cfg) -> dict:
         "decoder": {"weight": _j(dec_w), "bias": _j(dec_b)},
     }
     return params
+
+
+def opt_params_from_state_dict(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """HF OPTForCausalLM (optionally surgery-modified) state_dict → pytree.
+
+    Handles project_in/out (350m), tied/untied lm_head, and surgery gate
+    params under `model.decoder.layers.{i}.self_attn.alpha*`."""
+    sd = dict(sd)
+    d = "model.decoder"
+    if f"{d}.embed_tokens.weight" not in sd and "decoder.embed_tokens.weight" in sd:
+        sd = {f"model.{k}" if k.startswith("decoder.") else k: v for k, v in sd.items()}
+    params = {
+        "embed_tokens": {"weight": _j(sd[f"{d}.embed_tokens.weight"])},
+        "embed_positions": {"weight": _j(sd[f"{d}.embed_positions.weight"])},
+        "final_ln": _ln(sd, f"{d}.final_layer_norm"),
+        "layers": [],
+    }
+    if f"{d}.project_in.weight" in sd:
+        params["project_in"] = {"weight": _j(sd[f"{d}.project_in.weight"]), "bias": None}
+        params["project_out"] = {"weight": _j(sd[f"{d}.project_out.weight"]), "bias": None}
+    for i in range(cfg.num_hidden_layers):
+        p = f"{d}.layers.{i}"
+        attn = {
+            "q_proj": _dense(sd, f"{p}.self_attn.q_proj"),
+            "k_proj": _dense(sd, f"{p}.self_attn.k_proj"),
+            "v_proj": _dense(sd, f"{p}.self_attn.v_proj"),
+            "out_proj": _dense(sd, f"{p}.self_attn.out_proj"),
+        }
+        gate = _gate_params(sd, f"{p}.self_attn", cfg.num_attention_heads)
+        if gate is not None:
+            attn["gate"] = gate
+        params["layers"].append(
+            {
+                "self_attn": attn,
+                "self_attn_ln": _ln(sd, f"{p}.self_attn_layer_norm"),
+                "fc1": _dense(sd, f"{p}.fc1"),
+                "fc2": _dense(sd, f"{p}.fc2"),
+                "final_ln": _ln(sd, f"{p}.final_layer_norm"),
+            }
+        )
+    lm_w = sd.get("lm_head.weight")
+    tied = lm_w is None or np.array_equal(
+        np.asarray(lm_w), np.asarray(sd[f"{d}.embed_tokens.weight"])
+    )
+    params["head"] = {"lm": {"weight": None if tied else _j(lm_w)}}
+    return params

@@ -1,0 +1,149 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4 item 5).
+
+Validates: (a) the tensor-parallel layout rules map onto BERT/OPT param trees;
+(b) a full sharded MLM train step compiles + executes and matches the
+single-device step numerically; (c) TP actually partitions weights (shard
+shapes shrink along `model`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from outeffhop_tpu.models.bert import BertConfig, init_bert_params
+from outeffhop_tpu.parallel import (
+    make_mesh,
+    make_adamw,
+    make_mlm_train_step,
+    param_pspecs,
+    shard_params,
+)
+from outeffhop_tpu.parallel.mesh import batch_pspec
+from outeffhop_tpu.parallel.train import init_train_state
+
+CFG = BertConfig(
+    vocab_size=512,
+    hidden_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=128,
+    max_position_embeddings=64,
+    attn_softmax="softmax1",
+    hidden_dropout_prob=0.0,
+    attention_probs_dropout_prob=0.0,
+)
+
+
+def _batch(bs=8, seq=32, vocab=512):
+    rs = np.random.RandomState(0)
+    return {
+        "input_ids": jnp.asarray(rs.randint(0, vocab, (bs, seq)), jnp.int32),
+        "attention_mask": jnp.ones((bs, seq), jnp.int32),
+        "labels": jnp.asarray(
+            np.where(rs.rand(bs, seq) < 0.15, rs.randint(0, vocab, (bs, seq)), -100),
+            jnp.int32,
+        ),
+    }
+
+
+def test_pspec_rules():
+    params = init_bert_params(jax.random.PRNGKey(0), CFG)
+    mesh = make_mesh(n_model=2)
+    specs = param_pspecs(params, mesh)
+    l0 = specs["layers"][0]
+    assert l0["attention"]["query"]["weight"] == P("model", None)
+    assert l0["attention_output"]["dense"]["weight"] == P(None, "model")
+    assert l0["intermediate"]["weight"] == P("model", None)
+    assert l0["output"]["dense"]["weight"] == P(None, "model")
+    assert specs["embeddings"]["word"]["weight"] == P("model", None)
+    assert specs["embeddings"]["ln"]["weight"] == P()
+
+
+def test_tp_actually_partitions():
+    mesh = make_mesh(n_model=2)
+    params = init_bert_params(jax.random.PRNGKey(0), CFG)
+    sharded = shard_params(params, mesh)
+    w = sharded["layers"][0]["attention"]["query"]["weight"]
+    shard_shapes = {s.data.shape for s in w.addressable_shards}
+    assert shard_shapes == {(CFG.hidden_size // 2, CFG.hidden_size)}
+
+
+@pytest.mark.parametrize("n_model", [1, 2, 4])
+def test_sharded_train_step_matches_single_device(n_model):
+    params = init_bert_params(jax.random.PRNGKey(0), CFG)
+    batch = _batch()
+
+    # single-device reference
+    tx = make_adamw(params, lr=1e-3, warmup_steps=2, total_steps=10)
+    state0 = init_train_state(params, tx)
+    step0 = make_mlm_train_step(CFG, tx)
+    s_ref, loss_ref = step0(state0, batch, jax.random.PRNGKey(1))
+
+    # sharded (fresh arrays: step0 donated its inputs)
+    params = init_bert_params(jax.random.PRNGKey(0), CFG)
+    mesh = make_mesh(n_model=n_model)
+    sp = shard_params(params, mesh)
+    tx2 = make_adamw(sp, lr=1e-3, warmup_steps=2, total_steps=10)
+    state1 = init_train_state(sp, tx2)
+    sharded_batch = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, batch_pspec())), batch
+    )
+    step1 = make_mlm_train_step(CFG, tx2, mesh=mesh)
+    s_new, loss = step1(state1, sharded_batch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-5)
+    w_ref = s_ref.params["layers"][0]["attention"]["query"]["weight"]
+    w_new = s_new.params["layers"][0]["attention"]["query"]["weight"]
+    np.testing.assert_allclose(np.asarray(w_new), np.asarray(w_ref), atol=2e-5)
+
+
+def test_clm_train_step_runs_sharded():
+    from outeffhop_tpu.models.opt import OPTConfig, init_opt_params
+    from outeffhop_tpu.parallel import make_clm_train_step
+
+    cfg = OPTConfig(
+        vocab_size=512,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        ffn_dim=128,
+        max_position_embeddings=64,
+        dropout=0.0,
+        attn_softmax="softmax1",
+    )
+    mesh = make_mesh(n_model=2)
+    params = shard_params(init_opt_params(jax.random.PRNGKey(0), cfg), mesh)
+    tx = make_adamw(params, lr=1e-3, betas=(0.9, 0.95), warmup_steps=2, total_steps=10,
+                    final_lr_fraction=0.1, weight_decay=0.1)
+    state = init_train_state(params, tx)
+    batch = _batch()
+    batch["labels"] = batch["input_ids"]
+    batch = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, batch_pspec())), batch
+    )
+    step = make_clm_train_step(cfg, tx, mesh=mesh)
+    state, loss = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert int(state.step) == 1
+
+
+def test_dryrun_multichip_entry():
+    import importlib
+    import __graft_entry__ as ge
+
+    importlib.reload(ge)
+    ge.dryrun_multichip(8)
+
+
+def test_schedule_stretch():
+    from outeffhop_tpu.parallel.train import linear_schedule_with_stretch
+
+    # eps=0: plain linear warmup/decay
+    s = linear_schedule_with_stretch(1.0, 10, 100)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(10)), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(s(100)), 0.0, atol=1e-7)
+    # eps>0: hits lr*eps at total_steps (run_clm.py:470-480)
+    s2 = linear_schedule_with_stretch(1.0, 10, 100, final_lr_fraction=0.1)
+    np.testing.assert_allclose(float(s2(100)), 0.1, rtol=0.02)
