@@ -178,3 +178,58 @@ def opt_params_from_state_dict(sd: Mapping[str, np.ndarray], cfg) -> dict:
     )
     params["head"] = {"lm": {"weight": None if tied else _j(lm_w)}}
     return params
+
+
+def vit_params_from_state_dict(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """timm VisionTransformer (optionally surgery-modified) state_dict → pytree.
+
+    Handles: patch_embed conv kernel → matmul layout (O,C,P,P) → (P·P·C, O)
+    matching `models/vit.patch_embed`'s space-to-depth order (p_h, p_w, c);
+    fused qkv; LayerScale gamma; surgery gate params under `blocks.{i}.attn.*`
+    (`run_vit.py:633-658` replaces blocks[i].attn)."""
+    sd = dict(sd)
+    conv_w = np.asarray(sd["patch_embed.proj.weight"])  # (D, C, P, P)
+    d, c, p, _ = conv_w.shape
+    params = {
+        "patch_embed": {
+            # (D,C,Ph,Pw) → (Ph,Pw,C,D) → (Ph·Pw·C, D): rows ordered like the
+            # unfolded patches (p_h major, p_w, then channel)
+            "weight": _j(conv_w.transpose(2, 3, 1, 0).reshape(p * p * c, d)),
+            "bias": _j(sd["patch_embed.proj.bias"]),
+        },
+        "pos_embed": _j(sd["pos_embed"]),
+        "blocks": [],
+        "norm": _ln(sd, "norm"),
+    }
+    if "cls_token" in sd:
+        params["cls_token"] = _j(sd["cls_token"])
+    for i in range(cfg.depth):
+        pfx = f"blocks.{i}"
+        attn = {
+            "qkv": {
+                "weight": _j(sd[f"{pfx}.attn.qkv.weight"]),
+                "bias": _j(sd[f"{pfx}.attn.qkv.bias"])
+                if f"{pfx}.attn.qkv.bias" in sd
+                else None,
+            },
+            "proj": _dense(sd, f"{pfx}.attn.proj"),
+        }
+        gate = _gate_params(sd, f"{pfx}.attn", cfg.num_heads)
+        if gate is not None:
+            attn["gate"] = gate
+        block = {
+            "ln1": _ln(sd, f"{pfx}.norm1"),
+            "attn": attn,
+            "ln2": _ln(sd, f"{pfx}.norm2"),
+            "mlp": {
+                "fc1": _dense(sd, f"{pfx}.mlp.fc1"),
+                "fc2": _dense(sd, f"{pfx}.mlp.fc2"),
+            },
+        }
+        if f"{pfx}.ls1.gamma" in sd:
+            block["ls1"] = {"gamma": _j(sd[f"{pfx}.ls1.gamma"])}
+            block["ls2"] = {"gamma": _j(sd[f"{pfx}.ls2.gamma"])}
+        params["blocks"].append(block)
+    if "head.weight" in sd:
+        params["head"] = _dense(sd, "head")
+    return params
