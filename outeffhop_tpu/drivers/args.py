@@ -1,0 +1,134 @@
+"""Shared CLI surface for the train/validate drivers.
+
+Mirrors the reference's one giant parser (`transformers_language/args.py:14-409`)
+— same flag names for data/model/training/quantization/softmax/gating so
+reference run commands translate 1:1 — plus TPU-native additions
+(`--mesh_model`, `--use_flash`, `--dtype`).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from outeffhop_tpu.quant.config import QUANT_SETUPS, QuantizedModelConfig
+
+
+def add_model_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("model")
+    g.add_argument("--model_name_or_path", type=str, default=None,
+                   help="HF checkpoint dir (pytorch_model.bin) to convert, or None for random init")
+    g.add_argument("--config_yaml", type=str, default=None,
+                   help="model-shape YAML overlay (model_configs/*.yaml equivalent)")
+    g.add_argument("--hidden_size", type=int, default=None)
+    g.add_argument("--num_hidden_layers", type=int, default=None)
+    g.add_argument("--num_attention_heads", type=int, default=None)
+    g.add_argument("--intermediate_size", type=int, default=None)
+    g.add_argument("--vocab_size", type=int, default=None)
+
+
+def add_softmax_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("attention extras (args.py:337-385)")
+    g.add_argument("--attn_softmax", type=str, default="vanilla")
+    g.add_argument("--alpha", type=float, default=None)
+    g.add_argument("--max_seq_length", type=int, default=128)
+    g.add_argument("--skip_attn", action="store_true")
+    g.add_argument("--attn_gate_type", type=str, default="none",
+                   choices=["none", "unconditional_per_head", "conditional_per_head",
+                            "conditional_per_token"])
+    g.add_argument("--attn_gate_init", type=float, default=None)
+    g.add_argument("--attn_gate_mlp", action="store_true")
+    g.add_argument("--attn_gate_mlp2", action="store_true")
+    g.add_argument("--attn_gate_linear_all_features", action="store_true")
+    g.add_argument("--fine_tuning", action="store_true")
+
+
+def add_quant_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("quantization (args.py:389-401)")
+    g.add_argument("--quantize", action="store_true")
+    g.add_argument("--n_bits", type=int, default=8)
+    g.add_argument("--n_bits_act", type=int, default=8)
+    g.add_argument("--qmethod", type=str, default="symmetric_uniform",
+                   choices=["symmetric_uniform", "asymmetric_uniform"])
+    g.add_argument("--qmethod_acts", type=str, default="asymmetric_uniform",
+                   choices=["symmetric_uniform", "asymmetric_uniform"])
+    g.add_argument("--ranges_weights", type=str, default="current_minmax",
+                   choices=["current_minmax", "running_minmax", "MSE"])
+    g.add_argument("--ranges_acts", type=str, default="running_minmax",
+                   choices=["current_minmax", "running_minmax", "MSE"])
+    g.add_argument("--percentile", type=float, default=None)
+    g.add_argument("--est_num_batches", type=int, default=16)
+    g.add_argument("--quant_setup", type=str, default="all", choices=list(QUANT_SETUPS))
+    g.add_argument("--per_channel", action="store_true", help="per-channel weight scales")
+    g.add_argument("--no_weight_quant", action="store_true")
+    g.add_argument("--no_act_quant", action="store_true")
+
+
+def add_training_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("training")
+    g.add_argument("--learning_rate", type=float, default=1e-4)
+    g.add_argument("--weight_decay", type=float, default=0.01)
+    g.add_argument("--adam_beta1", type=float, default=0.9)
+    g.add_argument("--adam_beta2", type=float, default=0.999)
+    g.add_argument("--max_train_steps", type=int, default=None)
+    g.add_argument("--num_train_epochs", type=int, default=1)
+    g.add_argument("--num_warmup_steps", type=int, default=0)
+    g.add_argument("--final_lr_fraction", type=float, default=0.0)
+    g.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    g.add_argument("--max_grad_norm", type=float, default=1.0)
+    g.add_argument("--per_device_train_batch_size", type=int, default=8)
+    g.add_argument("--per_device_eval_batch_size", type=int, default=8)
+    g.add_argument("--checkpointing_steps", type=str, default=None,
+                   help='int steps or "epoch"')
+    g.add_argument("--resume_from_checkpoint", type=str, default=None)
+    g.add_argument("--output_dir", type=str, default=None)
+    g.add_argument("--seed", type=int, default=0)
+
+
+def add_data_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("data")
+    g.add_argument("--dataset_setup", type=str, default="synthetic",
+                   help="synthetic | bookcorpus_and_wiki | wikitext (HF cache required)")
+    g.add_argument("--data_cache_dir", type=str, default=None)
+    g.add_argument("--max_seq_len", type=int, default=128, dest="block_size_mlm")
+    g.add_argument("--block_size", type=int, default=512)
+    g.add_argument("--mlm_probability", type=float, default=0.15)
+    g.add_argument("--train_percentage", type=int, default=None)
+    g.add_argument("--validation_percentage", type=int, default=None)
+    g.add_argument("--synthetic_tokens", type=int, default=200_000)
+
+
+def add_tpu_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("tpu")
+    g.add_argument("--mesh_model", type=int, default=1, help="tensor-parallel axis size")
+    g.add_argument("--use_flash", action="store_true", default=None)
+    g.add_argument("--no_flash", dest="use_flash", action="store_false")
+    g.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    g.add_argument("--platform", type=str, default=None,
+                   help="force jax platform (cpu for local runs)")
+
+
+def quant_config_from_args(args) -> QuantizedModelConfig:
+    """`get_quant_config()` + click-style CLI overrides + `val_qparams`
+    (`quant_configs.py:7-33`, `transformers_language/utils.py:27-47`)."""
+    return QuantizedModelConfig(
+        n_bits=args.n_bits,
+        n_bits_act=args.n_bits_act,
+        weight_method=args.qmethod,
+        weight_range_method=args.ranges_weights,
+        per_channel_weights=args.per_channel,
+        act_method=args.qmethod_acts,
+        act_range_method=args.ranges_acts,
+        percentile=args.percentile,
+        quant_setup=args.quant_setup,
+        est_num_batches=args.est_num_batches,
+        quantize_weights=not args.no_weight_quant,
+        quantize_acts=not args.no_act_quant,
+    )
+
+
+def setup_platform(args):
+    import jax
+
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)

@@ -1,0 +1,122 @@
+"""Shared driver machinery: model building from args, PTQ quantize block,
+telemetry aggregation, results writing.
+
+The quantize block reproduces `validate_mlm_config.py:408-478` /
+`validate_clm.py:418-499`: build QuantizedModelConfig from CLI → discover
+sites with one forward → weight qparams → `pass_data_for_range_estimation`
+(calibration scan) → freeze ranges → quantized eval context.
+
+Telemetry aggregation reproduces `validate_mlm_config.py:542-575`: per-probe
+∞-norms and kurtosis averaged over batches, then max/avg across probes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outeffhop_tpu.ops.telemetry import ProbeTape, ScopedTape
+from outeffhop_tpu.quant import (
+    QuantCtx,
+    ScopedQuantCtx,
+    compute_weight_qparams,
+    freeze_act_qparams,
+    run_calibration,
+)
+from outeffhop_tpu.quant.calibrate import NULL_QCTX
+from outeffhop_tpu.quant.config import QuantizedModelConfig
+
+
+def build_quant_ctx(
+    forward_with_qctx: Callable,
+    config: QuantizedModelConfig,
+    calib_batches: Iterable,
+) -> ScopedQuantCtx:
+    """discover → weight qparams → calibrate → freeze → run-mode ctx."""
+    calib_batches = list(calib_batches)
+    ctx = QuantCtx.discover(config)
+    forward_with_qctx(calib_batches[0], ScopedQuantCtx(ctx, ""))
+    wq = compute_weight_qparams(ctx.discovered_weights, config)
+    est = run_calibration(forward_with_qctx, config, wq, calib_batches)
+    aq = freeze_act_qparams(est, config)
+    return ScopedQuantCtx(QuantCtx.run(config, wq, aq), "")
+
+
+def eval_loop(
+    loss_and_count: Callable,
+    batches: Iterable,
+    qctx: ScopedQuantCtx = NULL_QCTX,
+    collect_telemetry: bool = True,
+    max_telemetry_batches: int = 256,
+):
+    """Average loss over batches; optional probe telemetry on the same passes.
+
+    `loss_and_count(batch, qctx, tape)` → (sum_loss, n_items). Returns
+    (mean_loss, telemetry_dict)."""
+    total, count = 0.0, 0
+    probe_sums: Dict[str, float] = {}
+    probe_counts: Dict[str, int] = {}
+    for i, batch in enumerate(batches):
+        tape = ProbeTape() if collect_telemetry and i < max_telemetry_batches else None
+        stape = ScopedTape(tape, "") if tape is not None else ScopedTape(None, "")
+        s, n = loss_and_count(batch, qctx, stape)
+        total += float(s)
+        count += int(n)
+        if tape is not None:
+            for k, v in tape.values.items():
+                probe_sums[k] = probe_sums.get(k, 0.0) + float(v)
+                probe_counts[k] = probe_counts.get(k, 0) + 1
+    mean_loss = total / max(count, 1)
+    telem = aggregate_telemetry(
+        {k: probe_sums[k] / probe_counts[k] for k in probe_sums}
+    )
+    return mean_loss, telem
+
+
+def aggregate_telemetry(per_probe: Dict[str, float]) -> Dict[str, float]:
+    """validate_mlm_config.py:553-575 aggregation: max/avg over probes for
+    ∞-norms and kurtosis (probe keys end with |inf_norm / |kurtosis)."""
+    inf_norms = {k: v for k, v in per_probe.items() if k.endswith("|inf_norm")}
+    kurts = {k: v for k, v in per_probe.items() if k.endswith("|kurtosis")}
+    out: Dict[str, float] = {}
+    if inf_norms:
+        out["max_inf_norm"] = max(inf_norms.values())
+        out["avg_inf_norm"] = float(np.mean(list(inf_norms.values())))
+        ln_in = [v for k, v in inf_norms.items() if "ln_input" in k or "LayerNorm_input" in k]
+        if ln_in:
+            out["max_ln_input_inf_norm"] = max(ln_in)
+        ffn = [v for k, v in inf_norms.items() if "output.dense" in k or "fc2" in k]
+        if ffn:
+            out["max_ffn_out_inf_norm"] = max(ffn)
+    if kurts:
+        out["avg_kurtosis"] = float(np.mean(list(kurts.values())))
+        out["max_kurtosis"] = max(kurts.values())
+    return out
+
+
+def write_results(output_dir: Optional[str], results: dict, verbose: bool = True):
+    """all_results.json (`validate_mlm_config.py:577-580`)."""
+    if verbose:
+        print(json.dumps(results, indent=2, default=float))
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "all_results.json"), "w") as f:
+            json.dump(results, f, indent=2, default=float)
+
+
+def cast_params(params, dtype):
+    if dtype == "float32":
+        return params
+    target = jnp.bfloat16
+    return jax.tree.map(
+        lambda x: x.astype(target)
+        if x is not None and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        params,
+        is_leaf=lambda x: x is None,
+    )

@@ -1,0 +1,158 @@
+"""BERT MLM pretraining driver.
+
+Reproduces `run_mlm.py` / `run_mlm_ddp.py` / `run_mlm_origin.py` as ONE
+driver (the reference's three variants differ only in launch plumbing and a
+fixed bug): args → config (+YAML overlay, run_mlm.py:147-153) → attention
+surgery via config knobs → token pipeline (group_texts chunking :364-377) →
+AdamW with two weight-decay groups (:437-450) → linear warmup/decay schedule →
+sharded train step over the ('data','model') mesh (the accelerate/DDP
+equivalent, SURVEY.md §2.8) → grad-accum, clip 1.0 → checkpoint every N steps
+(`step_{i}` naming, resume parsing :517-543) → eval with ∞-norm/kurtosis
+telemetry → final save.
+
+The reference's `args.ucky2` bug (`run_mlm.py:456` — crashes multi-epoch runs;
+fixed only in the ddp/origin variants) is not replicated.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outeffhop_tpu.drivers import args as A
+from outeffhop_tpu.drivers.common import cast_params, eval_loop, write_results
+from outeffhop_tpu.drivers.validate_mlm import bert_config_from_args, make_batches
+from outeffhop_tpu.models.bert import bert_mlm_forward, init_bert_params, mlm_loss
+from outeffhop_tpu.parallel import make_adamw, make_mesh, make_mlm_train_step, shard_params
+from outeffhop_tpu.parallel.mesh import batch_pspec
+from outeffhop_tpu.parallel.train import init_train_state
+from outeffhop_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    for add in (A.add_model_args, A.add_softmax_args, A.add_quant_args,
+                A.add_training_args, A.add_data_args, A.add_tpu_args):
+        add(p)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    A.setup_platform(args)
+    from jax.sharding import NamedSharding
+
+    cfg = bert_config_from_args(args)
+    params = init_bert_params(jax.random.PRNGKey(args.seed), cfg)
+    params = cast_params(params, args.dtype)
+
+    n_dev = jax.device_count()
+    n_model = args.mesh_model if n_dev % max(args.mesh_model, 1) == 0 else 1
+    mesh = make_mesh(n_model=max(n_model, 1))
+    params = shard_params(params, mesh)
+
+    train_batches = make_batches(args, cfg, split_seed=args.seed)
+    eval_batches = make_batches(args, cfg, split_seed=1234)[:16]
+    steps_per_epoch = max(len(train_batches) // args.gradient_accumulation_steps, 1)
+    total_steps = args.max_train_steps or steps_per_epoch * args.num_train_epochs
+
+    tx = make_adamw(
+        params,
+        lr=args.learning_rate,
+        betas=(args.adam_beta1, args.adam_beta2),
+        weight_decay=args.weight_decay,
+        warmup_steps=args.num_warmup_steps,
+        total_steps=total_steps,
+        clip_norm=args.max_grad_norm,
+        accum_steps=args.gradient_accumulation_steps,
+    )
+    state = init_train_state(params, tx)
+    step_fn = make_mlm_train_step(cfg, tx, mesh=mesh, use_flash=bool(args.use_flash))
+
+    start_step = 0
+    if args.resume_from_checkpoint:
+        found = latest_checkpoint(args.resume_from_checkpoint)
+        if found:
+            path, _, idx = found
+            state = restore_checkpoint(path, like=state)
+            start_step = idx
+            print(f"resumed from {path} at step {idx}")
+
+    ckpt_every = None
+    if args.checkpointing_steps and args.checkpointing_steps != "epoch":
+        ckpt_every = int(args.checkpointing_steps)
+
+    rng = jax.random.PRNGKey(args.seed + 7)
+    completed = start_step
+    losses = []
+    done = False
+    for epoch in range(args.num_train_epochs):
+        if done:
+            break
+        for b_idx, batch in enumerate(train_batches):
+            global_micro = epoch * len(train_batches) + b_idx
+            if global_micro < start_step * args.gradient_accumulation_steps:
+                continue  # resume skip (run_mlm.py:561-566)
+            jb = jax.tree.map(
+                lambda x: jax.device_put(
+                    jnp.asarray(x), NamedSharding(mesh, batch_pspec())
+                ),
+                dict(batch),
+            )
+            state, loss = step_fn(state, jb, rng)
+            losses.append(float(loss))
+            if (global_micro + 1) % args.gradient_accumulation_steps == 0:
+                completed += 1
+                if ckpt_every and args.output_dir and completed % ckpt_every == 0:
+                    save_checkpoint(args.output_dir, f"step_{completed}", state)
+                if completed >= total_steps:
+                    done = True
+                    break
+        if args.checkpointing_steps == "epoch" and args.output_dir:
+            save_checkpoint(args.output_dir, f"epoch_{epoch}", state)
+
+    # eval with telemetry (run_mlm.py:676-729). Params are gathered off the
+    # mesh first: the probe-taped eval path runs eagerly, and eager per-op
+    # collectives over TP-sharded params deadlock on the CPU backend.
+    eval_params = jax.tree.map(
+        lambda x: jnp.asarray(jax.device_get(x)) if x is not None else None,
+        state.params,
+        is_leaf=lambda x: x is None,
+    )
+
+    def loss_and_count(batch, qctx, tape):
+        logits = bert_mlm_forward(
+            eval_params, cfg,
+            jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]),
+            q=qctx, tape=tape, deterministic=True,
+        )
+        labels = jnp.asarray(batch["labels"])
+        mask = labels != -100
+        safe = jnp.where(mask, labels, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return jnp.sum(jnp.where(mask, nll, 0.0)), jnp.sum(mask)
+
+    eval_loss, telem = eval_loop(loss_and_count, eval_batches)
+    results = {
+        "train_loss": float(np.mean(losses[-50:])) if losses else None,
+        "perplexity": math.exp(eval_loss),
+        "completed_steps": completed,
+        **telem,
+    }
+    if args.output_dir:
+        save_checkpoint(args.output_dir, f"step_{completed}", state)
+        with open(os.path.join(args.output_dir, "config.json"), "w") as f:
+            json.dump({k: v for k, v in vars(args).items()}, f, indent=2, default=str)
+    write_results(args.output_dir, results)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -69,7 +69,8 @@ class ProbeTape:
         else:
             flat = value.reshape(-1, value.shape[-1])
             self.values[name + "|inf_norm"] = inf_norm(value)
-            self.values[name + "|kurtosis"] = jnp.mean(kurtosis(flat))
+            if value.shape[-1] >= 2:  # ddof=1 std is undefined on singletons
+                self.values[name + "|kurtosis"] = jnp.mean(kurtosis(flat))
         return value
 
     def scoped(self, prefix: str) -> "ScopedTape":

@@ -1,0 +1,117 @@
+"""End-to-end driver tests (tiny synthetic configs, in-process main() calls)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_validate_mlm_fp_and_int8(tmp_path):
+    from outeffhop_tpu.drivers.validate_mlm import main
+
+    res = main([
+        "--quantize", "--est_num_batches", "2", "--per_device_eval_batch_size", "4",
+        "--synthetic_tokens", "8000", "--attn_softmax", "softmax1",
+        "--num_hidden_layers", "2", "--output_dir", str(tmp_path),
+    ])
+    assert np.isfinite(res["perplexity"]) and np.isfinite(res["int8_perplexity"])
+    # INT8 must stay close to FP on this scale (outlier-efficient PTQ claim)
+    assert abs(res["delta_perplexity"]) / res["perplexity"] < 0.05
+    assert "fp_max_inf_norm" in res and "fp_avg_kurtosis" in res
+    saved = json.load(open(tmp_path / "all_results.json"))
+    assert saved["perplexity"] == res["perplexity"]
+
+
+def test_validate_clm_quant_setup(tmp_path):
+    from outeffhop_tpu.drivers.validate_clm import main
+
+    res = main([
+        "--quantize", "--quant_setup", "fp32_head", "--percentile", "99.999",
+        "--est_num_batches", "2", "--per_device_eval_batch_size", "2",
+        "--synthetic_tokens", "8000", "--block_size", "64",
+        "--num_hidden_layers", "2", "--attn_softmax", "softmax1",
+        "--output_dir", str(tmp_path),
+    ])
+    assert np.isfinite(res["int8_perplexity"])
+    assert abs(res["delta_perplexity"]) / res["perplexity"] < 0.05
+
+
+def test_validate_vit_int8(tmp_path):
+    from outeffhop_tpu.drivers.validate_vit import main
+
+    res = main([
+        "--quantize", "--est_num_batches", "2", "--per_device_eval_batch_size", "8",
+        "--attn_softmax", "softmax1", "--num_hidden_layers", "2",
+        "--output_dir", str(tmp_path),
+    ])
+    assert 0.0 <= res["top1"] <= 100.0
+    assert "int8_top1" in res
+
+
+def test_run_mlm_train_ckpt_resume(tmp_path):
+    from outeffhop_tpu.drivers.run_mlm import main
+
+    out = str(tmp_path / "run")
+    res = main([
+        "--synthetic_tokens", "6000", "--per_device_train_batch_size", "4",
+        "--max_train_steps", "3", "--num_hidden_layers", "2",
+        "--checkpointing_steps", "2", "--output_dir", out, "--mesh_model", "2",
+    ])
+    assert res["completed_steps"] == 3
+    assert os.path.isdir(os.path.join(out, "step_2"))
+    res2 = main([
+        "--synthetic_tokens", "6000", "--per_device_train_batch_size", "4",
+        "--max_train_steps", "5", "--num_hidden_layers", "2",
+        "--resume_from_checkpoint", out, "--output_dir", out, "--mesh_model", "2",
+    ])
+    assert res2["completed_steps"] == 5
+
+
+def test_run_clm_lr_stretch(tmp_path):
+    from outeffhop_tpu.drivers.run_clm import main
+
+    res = main([
+        "--synthetic_tokens", "6000", "--block_size", "64",
+        "--per_device_train_batch_size", "2", "--max_train_steps", "3",
+        "--num_hidden_layers", "2", "--final_lr_fraction", "0.1",
+        "--num_warmup_steps", "1",
+    ])
+    assert res["completed_steps"] == 3
+    assert np.isfinite(res["perplexity"])
+
+
+def test_main_stanhop_train_test_eval(tmp_path, monkeypatch):
+    from outeffhop_tpu.drivers.main_stanhop import main
+
+    monkeypatch.chdir(tmp_path)
+    args = [
+        "--in_len", "24", "--out_len", "12", "--seg_len", "6",
+        "--d_model", "16", "--d_ff", "32", "--n_heads", "2", "--e_layers", "2",
+        "--train_epochs", "1", "--batch_size", "16", "--synthetic_len", "400",
+        "--mode", "softmax1", "--dropout", "0.0",
+        "--checkpoints", str(tmp_path / "ck"),
+    ]
+    res = main(args)
+    assert np.isfinite(res[0]["mse"])
+    # eval-from-checkpoint path (eval_crossformer.py equivalent)
+    run_dirs = os.listdir(tmp_path / "ck")
+    assert len(run_dirs) == 1
+    from outeffhop_tpu.drivers.main_stanhop import main as main2
+
+    res2 = main2(["--eval_dir", str(tmp_path / "ck" / run_dirs[0])])
+    assert abs(res2["mse"] - res[0]["mse"]) < 1e-4
+
+
+def test_parsers_have_reference_flags():
+    from outeffhop_tpu.drivers.validate_mlm import build_parser as p1
+    from outeffhop_tpu.drivers.validate_clm import build_parser as p2
+    from outeffhop_tpu.drivers.run_mlm import build_parser as p3
+
+    for bp in (p1, p2, p3):
+        opts = {a.dest for a in bp()._actions}
+        for flag in ["attn_softmax", "alpha", "attn_gate_type", "quantize",
+                     "n_bits", "qmethod_acts", "ranges_acts", "percentile",
+                     "quant_setup", "est_num_batches", "learning_rate",
+                     "gradient_accumulation_steps"]:
+            assert flag in opts, f"{bp.__module__} missing --{flag}"
