@@ -64,7 +64,18 @@ def dense(
 ) -> Array:
     """Linear (+ optionally folded activation fn) with weight & output-act
     quant sites — the `QuantLinear` hijack (`autoquant_utils.py:17-19`,
-    `hijacker.py:78-82`)."""
+    `hijacker.py:78-82`). When the run-mode ctx carries a frozen `Int8Dense`
+    for this site, the matmul executes as a real int8×int8→int32 MXU op with
+    dynamic per-tensor input quantization (quant/int8_exec.py) instead of the
+    fake-quant simulation."""
+    ip = q.int8_for(name)
+    if ip is not None:
+        from outeffhop_tpu.quant.int8_exec import int8_dense_apply
+
+        y = int8_dense_apply(ip, x)
+        if activation is not None:
+            y = activation(y)
+        return q.act(name, y)
     w = q.weight(name, params["weight"], per_channel_axis=0)
     y = x @ w.T + params["bias"]
     if activation is not None:

@@ -9,3 +9,4 @@ from outeffhop_tpu.ops.softmax_variants import (
 )
 from outeffhop_tpu.ops.entmax import entmax15, sparsemax, entmax_bisect
 from outeffhop_tpu.ops.telemetry import kurtosis, inf_norm
+from outeffhop_tpu.ops.int8_matmul import w8a8_matmul, w8a8_matmul_pallas, w8a8_matmul_xla

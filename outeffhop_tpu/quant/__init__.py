@@ -24,3 +24,10 @@ from outeffhop_tpu.quant.calibrate import (
     freeze_act_qparams,
     run_calibration,
 )
+from outeffhop_tpu.quant.int8_exec import (
+    Int8Dense,
+    quantize_dense,
+    quantize_dense_with_qparams,
+    int8_dense_apply,
+    build_int8_dense_map,
+)

@@ -108,6 +108,9 @@ class QuantCtx:
         self.est_state: Dict[str, EstState] = {}
         self.discovered_weights: Dict[str, Tuple[Array, Optional[int]]] = {}
         self.discovered_acts: list = []
+        # name ('...|w') → Int8Dense: real integer execution for these dense
+        # sites in run mode (quant/int8_exec.py); empty = simulate only.
+        self.int8_dense: dict = {}
 
     # -- constructors ------------------------------------------------------
 
@@ -133,10 +136,13 @@ class QuantCtx:
         config: QuantizedModelConfig,
         weight_qparams: Dict[str, Optional[QParams]],
         act_qparams: Dict[str, Optional[QParams]],
+        int8_dense: Optional[dict] = None,
     ) -> "QuantCtx":
         ctx = cls("run", config)
         ctx.weight_qparams = weight_qparams
         ctx.act_qparams = act_qparams
+        if int8_dense:
+            ctx.int8_dense = dict(int8_dense)
         return ctx
 
     # -- site handlers -----------------------------------------------------
@@ -198,6 +204,13 @@ class ScopedQuantCtx:
         if self._ctx is None:
             return x
         return self._ctx.act(self._full(name, kind), x)
+
+    def int8_for(self, name: str, kind: str = "w"):
+        """Int8Dense for this dense site when integer execution is frozen in
+        (run mode only); None → float/fake-quant path."""
+        if self._ctx is None or not self._ctx.int8_dense:
+            return None
+        return self._ctx.int8_dense.get(self._full(name, kind))
 
     def scoped(self, prefix: str) -> "ScopedQuantCtx":
         if self._ctx is None:
