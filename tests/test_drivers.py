@@ -115,3 +115,42 @@ def test_parsers_have_reference_flags():
                      "quant_setup", "est_num_batches", "learning_rate",
                      "gradient_accumulation_steps"]:
             assert flag in opts, f"{bp.__module__} missing --{flag}"
+
+
+def test_run_vit_train_mixup_ema(tmp_path):
+    """ViT training driver: mixup+cutmix+smoothing+EMA, best-ckpt save
+    (run_vit.py parity)."""
+    from outeffhop_tpu.drivers.run_vit import main
+
+    out = str(tmp_path / "vit")
+    res = main([
+        "--num_train_epochs", "2", "--train_samples", "64",
+        "--per_device_train_batch_size", "16", "--per_device_eval_batch_size", "16",
+        "--img_size", "16", "--patch_size", "8", "--num_classes", "4",
+        "--hidden_size", "32", "--num_hidden_layers", "2",
+        "--num_attention_heads", "2", "--attn_softmax", "softmax1",
+        "--mixup", "0.2", "--cutmix", "0.2", "--smoothing", "0.1",
+        "--model_ema", "--learning_rate", "3e-3", "--output_dir", out,
+    ])
+    assert res["completed_steps"] == 8
+    assert 0.0 <= res["top1"] <= 100.0
+    assert "ema_top1" in res
+    assert os.path.isdir(os.path.join(out, "best"))
+    assert os.path.isdir(os.path.join(out, "epoch_1"))
+
+
+def test_run_vit_resume(tmp_path):
+    from outeffhop_tpu.drivers.run_vit import main
+
+    out = str(tmp_path / "vit")
+    common = [
+        "--train_samples", "32", "--per_device_train_batch_size", "16",
+        "--per_device_eval_batch_size", "16", "--img_size", "16",
+        "--patch_size", "8", "--num_classes", "2", "--hidden_size", "32",
+        "--num_hidden_layers", "1", "--num_attention_heads", "2",
+        "--output_dir", out,
+    ]
+    main(["--num_train_epochs", "1"] + common)
+    res = main(["--num_train_epochs", "2", "--resume_from_checkpoint", out] + common)
+    # resumed at epoch 1 → only one more epoch of 2 steps
+    assert res["completed_steps"] == 2
