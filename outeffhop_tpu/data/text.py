@@ -77,6 +77,8 @@ def mlm_batches(
     shuffle: bool = True,
     drop_last: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
+    from outeffhop_tpu import native
+
     idx = np.arange(len(blocks))
     if shuffle:
         np.random.RandomState(seed).shuffle(idx)
@@ -84,8 +86,9 @@ def mlm_batches(
         chunk = idx[s : s + batch_size]
         if drop_last and len(chunk) < batch_size:
             return
-        batch = mlm_mask_batch(
-            blocks[chunk], vocab_size, mask_token_id, mlm_probability, seed=seed + s
+        # native (C++) counter-based masking; bit-identical NumPy fallback
+        batch = native.mlm_mask(
+            blocks[chunk], mlm_probability, seed + s, mask_token_id, vocab_size
         )
         batch["attention_mask"] = np.ones_like(batch["input_ids"])
         yield batch

@@ -48,12 +48,10 @@ class StandardScaler:
 
 def load_mts_csv(path: str) -> np.ndarray:
     """CSV → (T, D) float array, dropping the first (date) column
-    (`data_loader.py:36-50`)."""
-    import csv
+    (`data_loader.py:36-50`); native C++ parser when available."""
+    from outeffhop_tpu import native
 
-    with open(path) as f:
-        rows = list(csv.reader(f))
-    return np.asarray([[float(v) for v in r[1:]] for r in rows[1:]], np.float32)
+    return native.csv_parse(path)
 
 
 class MTSWindows:
@@ -110,15 +108,15 @@ class MTSWindows:
         idx = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(idx)
+        from outeffhop_tpu import native
+
         for s in range(0, len(idx), batch_size):
             chunk = idx[s : s + batch_size]
             if drop_last and len(chunk) < batch_size:
                 return
-            xs = np.stack([self.data[i : i + self.in_len] for i in chunk])
-            ys = np.stack(
-                [self.data[i + self.in_len : i + self.in_len + self.out_len] for i in chunk]
+            yield native.gather_windows(
+                self.data, chunk.astype(np.int64), self.in_len, self.out_len
             )
-            yield xs, ys
 
 
 def synthetic_mts(n: int = 2000, dim: int = 7, seed: int = 0) -> np.ndarray:
