@@ -1,0 +1,303 @@
+"""Continuous-batching serving engine for the OPT CLM family.
+
+New capability over the reference (which ships no generation or serving
+stack; SURVEY.md §7 step 6): a slot-based engine in the vLLM style, built
+for XLA's compilation model —
+
+  * **static shapes everywhere**: a fixed pool of `max_slots` sequence slots,
+    each with a preallocated KV cache of `max_seq`; admission, decode, and
+    eviction never change tensor shapes, so exactly TWO programs are
+    compiled (prefill, decode-step) and reused for the engine's lifetime;
+  * **prefill**: a new request is written into a free slot — one forward over
+    the padded prompt buffer fills that slot's KV cache and samples the
+    first token. Other slots are untouched (their caches ride along);
+  * **decode step**: ALL slots advance one token in a single batched forward
+    against the slot-pool cache (per-slot lengths mask invalid positions);
+    inactive slots compute masked garbage — the usual static-batching trade;
+  * **continuous batching**: the host scheduler admits queued requests into
+    slots the moment they free up (finished by EOS or length), keeping the
+    batch dense without ever recompiling;
+  * sampling: greedy, temperature, top-k — selected by jit-static config.
+
+The decode hot loop is (slots, 1)-query attention against (slots, H,
+max_seq, D) caches — an HBM-bandwidth-bound gather+matvec that XLA fuses
+cleanly; the MXU path (prefill) reuses the same model code as training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outeffhop_tpu.models.opt import (
+    OPTConfig,
+    opt_forward,
+)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    max_slots: int = 4
+    max_seq: int = 256
+    max_prompt: int = 64
+    eos_token_id: int = 2
+    pad_token_id: int = 1
+    temperature: float = 0.0  # 0 → greedy
+    top_k: int = 0  # 0 → full distribution
+
+
+@dataclasses.dataclass
+class EngineState:
+    """Device-resident slot pool (a pytree)."""
+
+    cache_k: Array  # (L, slots, H, max_seq, D)
+    cache_v: Array  # (L, slots, H, max_seq, D)
+    tokens: Array  # (slots, max_seq) int32
+    lengths: Array  # (slots,) int32 — tokens materialized so far
+    active: Array  # (slots,) bool
+
+
+jax.tree_util.register_dataclass(
+    EngineState,
+    data_fields=["cache_k", "cache_v", "tokens", "lengths", "active"],
+    meta_fields=[],
+)
+
+
+def init_state(cfg: OPTConfig, ecfg: EngineConfig, dtype=jnp.float32) -> EngineState:
+    L, S = cfg.num_hidden_layers, ecfg.max_slots
+    H, D = cfg.num_attention_heads, cfg.head_dim
+    return EngineState(
+        cache_k=jnp.zeros((L, S, H, ecfg.max_seq, D), dtype),
+        cache_v=jnp.zeros((L, S, H, ecfg.max_seq, D), dtype),
+        tokens=jnp.full((S, ecfg.max_seq), ecfg.pad_token_id, jnp.int32),
+        lengths=jnp.zeros((S,), jnp.int32),
+        active=jnp.zeros((S,), bool),
+    )
+
+
+def _sample(logits: Array, rng: Array, temperature: float, top_k: int) -> Array:
+    """(B, V) → (B,) next tokens; temperature 0 is argmax (static branch)."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / temperature
+    if top_k > 0:
+        kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    return jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Compiled engine programs
+# ---------------------------------------------------------------------------
+
+
+def make_prefill(cfg: OPTConfig, ecfg: EngineConfig):
+    """slot admission: run the padded prompt, fill the slot's cache, sample
+    token #1. jit-static in everything but the arrays."""
+
+    @jax.jit
+    def prefill(
+        params, state: EngineState, slot: Array, prompt: Array, prompt_len: Array, rng
+    ) -> EngineState:
+        P = ecfg.max_prompt
+        mask = (jnp.arange(P)[None, :] < prompt_len).astype(jnp.int32)  # (1, P)
+        logits, past = opt_forward(params, cfg, prompt[None, :], mask)
+        last = logits[0, jnp.maximum(prompt_len - 1, 0)]
+        first_tok = _sample(last[None, :], rng, ecfg.temperature, ecfg.top_k)[0]
+
+        ck, cv = state.cache_k, state.cache_v
+        # write per-layer prompt K/V into this slot's cache rows
+        new_k = jnp.stack([k.astype(ck.dtype)[0] for k, _ in past])  # (L, H, P, D)
+        new_v = jnp.stack([v.astype(cv.dtype)[0] for _, v in past])
+        ck = jax.lax.dynamic_update_slice(
+            ck, new_k[:, None], (0, slot, 0, 0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cv, new_v[:, None], (0, slot, 0, 0, 0)
+        )
+
+        row = jnp.full((ecfg.max_seq,), ecfg.pad_token_id, jnp.int32)
+        row = jax.lax.dynamic_update_slice(row, prompt, (0,))
+        row = row.at[prompt_len].set(first_tok)
+        tokens = jax.lax.dynamic_update_slice(state.tokens, row[None], (slot, 0))
+        lengths = state.lengths.at[slot].set(prompt_len + 1)
+        active = state.active.at[slot].set(
+            (first_tok != ecfg.eos_token_id) & (prompt_len + 1 < ecfg.max_seq)
+        )
+        return EngineState(ck, cv, tokens, lengths, active)
+
+    return prefill
+
+
+def make_decode_step(cfg: OPTConfig, ecfg: EngineConfig):
+    """one token for every slot, batched; inactive slots are masked out."""
+
+    @jax.jit
+    def decode_step(params, state: EngineState, rng) -> EngineState:
+        S = ecfg.max_slots
+        L = cfg.num_hidden_layers
+        len_km1 = jnp.maximum(state.lengths - 1, 0)  # current token position
+        cur = jnp.take_along_axis(state.tokens, len_km1[:, None], axis=1)  # (S, 1)
+
+        # cache positions [0, len-1) are valid past; the fresh K/V of the
+        # current token arrives concatenated at the end (slot max_seq).
+        past_valid = (
+            jnp.arange(ecfg.max_seq)[None, :] < len_km1[:, None]
+        ).astype(jnp.int32)
+        attn_mask = jnp.concatenate([past_valid, jnp.ones((S, 1), jnp.int32)], axis=1)
+
+        past_list = [(state.cache_k[l], state.cache_v[l]) for l in range(L)]
+        logits, new_past = opt_forward(
+            params, cfg, cur, attn_mask, past_key_values=past_list
+        )
+
+        # scatter the current K/V into each slot's row at its own position
+        def write_slot(cache_row, kv_row, pos):
+            # cache_row (H, max_seq, D) ← kv_row (H, 1, D) at [:, pos, :]
+            return jax.lax.dynamic_update_slice(cache_row, kv_row, (0, pos, 0))
+
+        ck, cv = state.cache_k, state.cache_v
+        for l, (k_l, v_l) in enumerate(new_past):
+            ck = ck.at[l].set(
+                jax.vmap(write_slot)(ck[l], k_l[:, :, -1:].astype(ck.dtype), len_km1)
+            )
+            cv = cv.at[l].set(
+                jax.vmap(write_slot)(cv[l], v_l[:, :, -1:].astype(cv.dtype), len_km1)
+            )
+
+        nxt = _sample(logits[:, -1], rng, ecfg.temperature, ecfg.top_k)
+        nxt = jnp.where(state.active, nxt, ecfg.pad_token_id)
+        tokens = jax.vmap(
+            lambda row, tok, pos: jax.lax.dynamic_update_slice(row, tok[None], (pos,))
+        )(state.tokens, nxt, state.lengths)
+        lengths = state.lengths + state.active.astype(jnp.int32)
+        active = (
+            state.active
+            & (nxt != ecfg.eos_token_id)
+            & (lengths < ecfg.max_seq)
+        )
+        return EngineState(ck, cv, tokens, lengths, active)
+
+    return decode_step
+
+
+# ---------------------------------------------------------------------------
+# Host scheduler
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _Request:
+    rid: int
+    prompt: np.ndarray
+    max_new_tokens: int
+    slot: Optional[int] = None
+    prompt_len: int = 0
+    admitted_at: int = 0
+
+
+class ServingEngine:
+    """Continuous-batching scheduler over the compiled prefill/decode programs.
+
+    submit() enqueues; step() admits into free slots and advances every
+    active slot one token; results() drains finished generations.
+    """
+
+    def __init__(self, params, cfg: OPTConfig, ecfg: EngineConfig, dtype=jnp.float32):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg
+        self.state = init_state(cfg, ecfg, dtype)
+        self._prefill = make_prefill(cfg, ecfg)
+        self._decode = make_decode_step(cfg, ecfg)
+        self._queue: List[_Request] = []
+        self._slots: List[Optional[_Request]] = [None] * ecfg.max_slots
+        self._done: Dict[int, np.ndarray] = {}
+        self._next_rid = 0
+        self._step_count = 0
+        self._rng = jax.random.PRNGKey(0)
+        self.tokens_generated = 0
+
+    def submit(self, prompt_ids, max_new_tokens: int = 32) -> int:
+        prompt = np.asarray(prompt_ids, np.int32)
+        if len(prompt) > self.ecfg.max_prompt:
+            raise ValueError(
+                f"prompt len {len(prompt)} > engine max_prompt {self.ecfg.max_prompt}"
+            )
+        rid = self._next_rid
+        self._next_rid += 1
+        self._queue.append(_Request(rid, prompt, max_new_tokens))
+        return rid
+
+    def _admit(self):
+        for slot in range(self.ecfg.max_slots):
+            if self._slots[slot] is not None or not self._queue:
+                continue
+            req = self._queue.pop(0)
+            padded = np.full(self.ecfg.max_prompt, self.ecfg.pad_token_id, np.int32)
+            padded[: len(req.prompt)] = req.prompt
+            self._rng, k = jax.random.split(self._rng)
+            self.state = self._prefill(
+                self.params,
+                self.state,
+                jnp.int32(slot),
+                jnp.asarray(padded),
+                jnp.int32(len(req.prompt)),
+                k,
+            )
+            req.slot = slot
+            req.prompt_len = len(req.prompt)
+            req.admitted_at = self._step_count
+            self._slots[slot] = req
+            self.tokens_generated += 1  # the prefill-sampled token
+
+    def _evict_finished(self):
+        lengths = np.asarray(self.state.lengths)
+        active = np.asarray(self.state.active)
+        tokens = None
+        for slot, req in enumerate(self._slots):
+            if req is None:
+                continue
+            produced = int(lengths[slot]) - req.prompt_len
+            if (not active[slot]) or produced >= req.max_new_tokens:
+                if tokens is None:
+                    tokens = np.asarray(self.state.tokens)
+                self._done[req.rid] = tokens[slot, : int(lengths[slot])].copy()
+                self._slots[slot] = None
+                self.state = dataclasses.replace(
+                    self.state, active=self.state.active.at[slot].set(False)
+                )
+
+    def step(self):
+        """Admit → decode one token for all slots → evict finished."""
+        self._admit()
+        if any(self._slots):
+            self._rng, k = jax.random.split(self._rng)
+            n_active = int(np.asarray(self.state.active).sum())
+            self.state = self._decode(self.params, self.state, k)
+            self.tokens_generated += n_active
+            self._step_count += 1
+        self._evict_finished()
+
+    @property
+    def busy(self) -> bool:
+        return bool(self._queue) or any(r is not None for r in self._slots)
+
+    def run(self, max_steps: int = 100_000) -> Dict[int, np.ndarray]:
+        steps = 0
+        while self.busy and steps < max_steps:
+            self.step()
+            steps += 1
+        return self.results()
+
+    def results(self) -> Dict[int, np.ndarray]:
+        out, self._done = self._done, {}
+        return out

@@ -1,0 +1,100 @@
+"""Continuous-batching serving engine: correctness vs the batch greedy path,
+slot reuse, EOS/length termination, sampling modes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from outeffhop_tpu.models.opt import OPTConfig, greedy_generate, init_opt_params
+from outeffhop_tpu.serving import EngineConfig, ServingEngine
+
+
+@pytest.fixture(scope="module")
+def opt():
+    cfg = OPTConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, ffn_dim=64, max_position_embeddings=512,
+        attn_softmax="softmax1", dropout=0.0,
+    )
+    params = init_opt_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_engine_matches_greedy_generate(opt):
+    """More requests than slots; every output must equal the single-sequence
+    greedy path (continuous batching is numerically transparent)."""
+    cfg, params = opt
+    ecfg = EngineConfig(max_slots=2, max_seq=48, max_prompt=16, eos_token_id=999)
+    eng = ServingEngine(params, cfg, ecfg)
+    prompts = [np.random.RandomState(i).randint(3, 120, 4 + i) for i in range(5)]
+    rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    res = eng.run()
+    assert sorted(res) == sorted(rids)
+    for i, p in enumerate(prompts):
+        ref = np.asarray(greedy_generate(params, cfg, jnp.asarray(p)[None, :], 6))[0]
+        got = res[rids[i]]
+        assert len(got) == len(p) + 6
+        np.testing.assert_array_equal(got, ref[: len(got)])
+
+
+def test_engine_eos_terminates_early(opt):
+    cfg, params = opt
+    prompt = np.random.RandomState(0).randint(3, 120, 6)
+    # find what greedy produces, then make its first generated token the EOS
+    ref = np.asarray(
+        greedy_generate(params, cfg, jnp.asarray(prompt)[None, :], 4)
+    )[0]
+    eos = int(ref[len(prompt)])
+    ecfg = EngineConfig(max_slots=1, max_seq=48, max_prompt=16, eos_token_id=eos)
+    eng = ServingEngine(params, cfg, ecfg)
+    rid = eng.submit(prompt, max_new_tokens=10)
+    res = eng.run()
+    # terminated right after the EOS token, not after 10
+    assert len(res[rid]) == len(prompt) + 1
+    assert res[rid][-1] == eos
+
+
+def test_engine_max_seq_guard(opt):
+    cfg, params = opt
+    ecfg = EngineConfig(max_slots=1, max_seq=12, max_prompt=8, eos_token_id=999)
+    eng = ServingEngine(params, cfg, ecfg)
+    rid = eng.submit(np.arange(3, 9), max_new_tokens=50)
+    res = eng.run()
+    assert len(res[rid]) <= 12  # clamped by the slot capacity
+
+
+def test_engine_rejects_oversized_prompt(opt):
+    cfg, params = opt
+    eng = ServingEngine(params, cfg, EngineConfig(max_prompt=8))
+    with pytest.raises(ValueError):
+        eng.submit(np.arange(20), max_new_tokens=4)
+
+
+def test_engine_sampling_mode_runs(opt):
+    cfg, params = opt
+    ecfg = EngineConfig(
+        max_slots=2, max_seq=32, max_prompt=8, eos_token_id=999,
+        temperature=0.8, top_k=10,
+    )
+    eng = ServingEngine(params, cfg, ecfg)
+    rids = [eng.submit(np.arange(3, 8), max_new_tokens=5) for _ in range(2)]
+    res = eng.run()
+    for r in rids:
+        assert len(res[r]) == 10
+        assert (res[r] >= 0).all() and (res[r] < cfg.vocab_size).all()
+
+
+def test_engine_slot_reuse_interleaved(opt):
+    """Late submissions are admitted as slots free — the scheduler stays busy
+    until everything drains."""
+    cfg, params = opt
+    ecfg = EngineConfig(max_slots=1, max_seq=48, max_prompt=8, eos_token_id=999)
+    eng = ServingEngine(params, cfg, ecfg)
+    r1 = eng.submit(np.arange(3, 7), max_new_tokens=3)
+    eng.step()  # admit r1
+    r2 = eng.submit(np.arange(10, 15), max_new_tokens=3)
+    res = eng.run()
+    assert set(res) == {r1, r2}
+    assert len(res[r1]) == 4 + 3
+    assert len(res[r2]) == 5 + 3
