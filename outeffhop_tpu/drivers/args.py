@@ -106,6 +106,8 @@ def add_tpu_args(p: argparse.ArgumentParser):
                    choices=["float32", "bfloat16"])
     g.add_argument("--platform", type=str, default=None,
                    help="force jax platform (cpu for local runs)")
+    g.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize() (pod slices / SLURM env)")
 
 
 def quant_config_from_args(args) -> QuantizedModelConfig:
@@ -132,3 +134,7 @@ def setup_platform(args):
 
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "multihost", False):
+        from outeffhop_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost()

@@ -30,7 +30,7 @@ from outeffhop_tpu.drivers.common import cast_params, eval_loop, write_results
 from outeffhop_tpu.drivers.validate_mlm import bert_config_from_args, make_batches
 from outeffhop_tpu.models.bert import bert_mlm_forward, init_bert_params, mlm_loss
 from outeffhop_tpu.parallel import make_adamw, make_mesh, make_mlm_train_step, shard_params
-from outeffhop_tpu.parallel.mesh import batch_pspec
+from outeffhop_tpu.parallel.mesh import batch_pspec, put_batch
 from outeffhop_tpu.parallel.train import init_train_state
 from outeffhop_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 
@@ -99,12 +99,7 @@ def main(argv=None):
             global_micro = epoch * len(train_batches) + b_idx
             if global_micro < start_step * args.gradient_accumulation_steps:
                 continue  # resume skip (run_mlm.py:561-566)
-            jb = jax.tree.map(
-                lambda x: jax.device_put(
-                    jnp.asarray(x), NamedSharding(mesh, batch_pspec())
-                ),
-                dict(batch),
-            )
+            jb = put_batch(mesh, dict(batch))
             state, loss = step_fn(state, jb, rng)
             losses.append(float(loss))
             if (global_micro + 1) % args.gradient_accumulation_steps == 0:

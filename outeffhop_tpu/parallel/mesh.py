@@ -27,6 +27,7 @@ constraints — no hand-written collectives.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Optional
 
@@ -128,3 +129,68 @@ def shard_params(params, mesh: Mesh):
 def batch_pspec() -> P:
     """Batch tensors: leading dim on `data`, rest replicated."""
     return P("data")
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (pod-slice) support — the run_*_ddp.py / SLURM-bootstrap
+# equivalent (`run_mlm_ddp.py:84-92`, `run_vit.py:513-567`)
+# ---------------------------------------------------------------------------
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """`jax.distributed.initialize()` — one call per host process.
+
+    On TPU pod slices everything auto-detects from the metadata server; on
+    other clusters pass coordinator/num/id explicitly or export
+    JAX_COORDINATOR_ADDRESS / SLURM_NTASKS / SLURM_PROCID (the same env
+    bootstrap the reference's DDP variants use). Returns True if a
+    multi-process runtime was actually initialized."""
+    kw = {}
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("SLURM_NTASKS"):
+        num_processes = int(os.environ["SLURM_NTASKS"])
+    if process_id is None and os.environ.get("SLURM_PROCID"):
+        process_id = int(os.environ["SLURM_PROCID"])
+    if coordinator_address:
+        kw["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    try:
+        jax.distributed.initialize(**kw)
+        return jax.process_count() > 1
+    except Exception:
+        # single-process (already-initialized, or no cluster env): fine
+        return jax.process_count() > 1
+
+
+def put_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place a host-local batch dict onto the mesh, data-sharded.
+
+    Single-process: a plain device_put. Multi-process: each host contributes
+    its local shard of the global batch via
+    `jax.make_array_from_process_local_data` — the per-host data-loading
+    pattern (each host reads only its slice of the dataset; SURVEY.md §2.8
+    'per-host data loading')."""
+    sharding = NamedSharding(mesh, batch_pspec())
+    if jax.process_count() == 1:
+        return {
+            k: jax.device_put(jax.numpy.asarray(v), sharding) for k, v in batch.items()
+        }
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in batch.items()
+    }
+
+
+def host_batch_slice(global_len: int) -> slice:
+    """This host's contiguous slice of a globally-indexed dataset."""
+    per = global_len // jax.process_count()
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)

@@ -147,3 +147,29 @@ def test_schedule_stretch():
     # eps>0: hits lr*eps at total_steps (run_clm.py:470-480)
     s2 = linear_schedule_with_stretch(1.0, 10, 100, final_lr_fraction=0.1)
     np.testing.assert_allclose(float(s2(100)), 0.1, rtol=0.02)
+
+
+def test_put_batch_shards_on_data_axis():
+    import numpy as np
+    from outeffhop_tpu.parallel.mesh import make_mesh, put_batch
+
+    mesh = make_mesh(n_model=2)
+    batch = {"input_ids": np.arange(32).reshape(8, 4), "labels": np.ones((8, 4))}
+    out = put_batch(mesh, batch)
+    assert out["input_ids"].shape == (8, 4)
+    spec = out["input_ids"].sharding.spec
+    assert spec[0] == "data"
+    np.testing.assert_array_equal(np.asarray(out["input_ids"]), batch["input_ids"])
+
+
+def test_initialize_multihost_single_process_noop():
+    from outeffhop_tpu.parallel.mesh import initialize_multihost
+
+    # single-process environment: must not raise, must report False
+    assert initialize_multihost() is False
+
+
+def test_host_batch_slice_single_process():
+    from outeffhop_tpu.parallel.mesh import host_batch_slice
+
+    assert host_batch_slice(100) == slice(0, 100)
