@@ -201,8 +201,10 @@ def _flash_attention_short(
     """(b*h, T, D) short-seq dispatch: grid over head-slices only."""
     bh, t_q, d = qr.shape
     t_k = kr.shape[1]
-    # ~2MB f32 score tile per program
-    block_bh = max(1, min(bh, (2 * 1024 * 1024) // (4 * t_q * t_k)))
+    # ~4MB f32 score tile per program (swept on v5e at T=128: 4-6MB tiles run
+    # ~13% faster than 2MB — fewer programs amortize grid overhead; >6MB
+    # exceeds scoped VMEM with the q/k/v/o blocks resident)
+    block_bh = max(1, min(bh, (4 * 1024 * 1024) // (4 * t_q * t_k)))
     while bh % block_bh:
         block_bh -= 1
     grid = (bh // block_bh,)

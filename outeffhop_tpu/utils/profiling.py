@@ -1,0 +1,146 @@
+"""Profiling + roofline accounting.
+
+The reference has no profiling subsystem at all (SURVEY.md §5 — only
+wall-clock AverageMeters); on TPU, per-kernel accounting is how the
+speed-of-light targets in BASELINE.md are checked. Provides:
+
+  * `trace(logdir)` — context manager around `jax.profiler` (view with
+    tensorboard/xprof);
+  * `benchmark(fn, *args)` — robust wall-clock timing with a device fence
+    that works through the remote-TPU tunnel (scalar host transfer);
+  * analytic FLOP/byte counters for the framework's model families and a
+    `roofline_report()` that turns a measured step time into MXU-utilization
+    and HBM-bandwidth fractions against the chip's peaks.
+
+Chip peaks are looked up by `jax.devices()[0].device_kind` (table below;
+override via the `peaks=` argument for unlisted chips).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+# (bf16 TFLOP/s, int8 TOPS, HBM GB/s) per chip generation — public figures.
+CHIP_PEAKS: Dict[str, Dict[str, float]] = {
+    "TPU v4": {"bf16_tflops": 275.0, "int8_tops": 275.0, "hbm_gbps": 1228.0},
+    "TPU v5 lite": {"bf16_tflops": 197.0, "int8_tops": 394.0, "hbm_gbps": 819.0},
+    "TPU v5e": {"bf16_tflops": 197.0, "int8_tops": 394.0, "hbm_gbps": 819.0},
+    "TPU v5p": {"bf16_tflops": 459.0, "int8_tops": 918.0, "hbm_gbps": 2765.0},
+    "TPU v6e": {"bf16_tflops": 918.0, "int8_tops": 1836.0, "hbm_gbps": 1640.0},
+}
+_DEFAULT_PEAKS = {"bf16_tflops": 197.0, "int8_tops": 394.0, "hbm_gbps": 819.0}
+
+
+def device_peaks(peaks: Optional[dict] = None) -> dict:
+    if peaks is not None:
+        return peaks
+    kind = jax.devices()[0].device_kind
+    for name, p in CHIP_PEAKS.items():
+        if kind.startswith(name) or name.startswith(kind):
+            return p
+    return _DEFAULT_PEAKS
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """jax.profiler trace capture (tensorboard-viewable)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def fence(x) -> float:
+    """Device fence that is reliable through the remote-TPU tunnel: a scalar
+    host transfer (block_until_ready alone can return early there)."""
+    return float(jnp.sum(x).astype(jnp.float32)) if hasattr(x, "dtype") else 0.0
+
+
+def benchmark(fn: Callable, *args, iters: int = 20, warmup: int = 3) -> float:
+    """Mean seconds per call (compiled fn; fences on the last output)."""
+    for _ in range(warmup):
+        fence(jax.tree.leaves(fn(*args))[0])
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    fence(jax.tree.leaves(out)[0])
+    return (time.perf_counter() - t0) / iters
+
+
+# ---------------------------------------------------------------------------
+# Analytic cost models
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Cost:
+    flops: float  # multiply-accumulate * 2
+    bytes_hbm: float  # parameter + activation traffic lower bound
+
+
+def transformer_forward_cost(
+    n_layers: int,
+    hidden: int,
+    ffn: int,
+    seq: int,
+    batch: int,
+    vocab: int = 0,
+    heads: Optional[int] = None,
+    param_bytes: int = 2,
+) -> Cost:
+    """Dense-transformer forward: QKV/out projections + FFN + attention
+    einsums (+ optional LM head). Byte count is the one-pass parameter read
+    (weights dominate at small batch) — a lower bound for the roofline."""
+    tokens = seq * batch
+    proj = 4 * hidden * hidden  # q,k,v,out
+    ffn_p = 2 * hidden * ffn
+    per_layer_matmul = 2 * tokens * (proj + ffn_p)
+    attn = 4 * batch * seq * seq * hidden  # QK^T + PV, all heads combined
+    head = 2 * tokens * hidden * vocab if vocab else 0.0
+    flops = n_layers * (per_layer_matmul + attn) + head
+    params = n_layers * (proj + ffn_p + 4 * hidden) + hidden * vocab
+    return Cost(flops=flops, bytes_hbm=params * param_bytes)
+
+
+def attention_cost(batch: int, heads: int, seq_q: int, seq_k: int, head_dim: int,
+                   dtype_bytes: int = 2) -> Cost:
+    """The fused flash-softmax₁ kernel's work: QK^T + PV FLOPs; HBM traffic =
+    one read of Q/K/V + one write of O (scores never leave VMEM)."""
+    flops = 4.0 * batch * heads * seq_q * seq_k * head_dim
+    io = batch * heads * (2 * seq_q + 2 * seq_k) * head_dim * dtype_bytes
+    return Cost(flops=flops, bytes_hbm=io)
+
+
+def roofline_report(
+    cost: Cost,
+    seconds: float,
+    dtype: str = "bf16",
+    peaks: Optional[dict] = None,
+) -> Dict[str, float]:
+    """Measured time + analytic cost → utilization fractions.
+
+    `sol_fraction` is the max of compute- and bandwidth-utilization: a kernel
+    at its roofline has sol_fraction ≈ 1 on whichever resource binds it."""
+    p = device_peaks(peaks)
+    peak_flops = (p["int8_tops"] if dtype == "int8" else p["bf16_tflops"]) * 1e12
+    achieved_flops = cost.flops / seconds
+    achieved_bw = cost.bytes_hbm / seconds
+    compute_frac = achieved_flops / peak_flops
+    bw_frac = achieved_bw / (p["hbm_gbps"] * 1e9)
+    return {
+        "seconds": seconds,
+        "achieved_tflops": achieved_flops / 1e12,
+        "compute_fraction": compute_frac,
+        "achieved_gbps": achieved_bw / 1e9,
+        "bandwidth_fraction": bw_frac,
+        "sol_fraction": max(compute_frac, bw_frac),
+        "arithmetic_intensity": cost.flops / max(cost.bytes_hbm, 1.0),
+    }

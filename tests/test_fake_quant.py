@@ -170,3 +170,68 @@ def test_int16_storage():
     xi = to_integer(x, qp)
     assert xi.dtype == jnp.int16
     np.testing.assert_allclose(np.asarray(dequantize(xi, qp)), np.asarray(x), atol=2e-4)
+
+
+def test_learned_ranges_qat():
+    """`learn_ranges`/`make_range_trainable` parity (`base_quantizers.py:40-46`,
+    `quantization_manager.py:80-87`): QParams.delta/zero_float are pytree
+    leaves, fake_quant is differentiable through the STE, and a few gradient
+    steps on delta shrink the quantization MSE below the minmax-range MSE."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from outeffhop_tpu.quant.fake_quant import (
+        QParams, fake_quant, qparams_from_range_asymmetric,
+    )
+
+    import optax
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.normal(0, 1, 4096), jnp.float32)
+    # start from a deliberately 5x-too-wide range (poor calibration)
+    bad = qparams_from_range_asymmetric(5 * jnp.min(x), 5 * jnp.max(x), n_bits=8)
+    good = qparams_from_range_asymmetric(jnp.min(x), jnp.max(x), n_bits=8)
+
+    def loss(leaves):
+        delta, zero = leaves
+        q = QParams(delta=delta, zero_float=zero, n_bits=8, symmetric=False)
+        return jnp.mean((fake_quant(x, q) - x) ** 2)
+
+    leaves = (bad.delta, bad.zero_float)
+    mse0 = float(loss(leaves))
+    g = jax.grad(loss)(leaves)
+    assert all(bool(jnp.isfinite(t)) for t in jax.tree.leaves(g))
+    assert float(jnp.abs(g[0])) > 0.0  # gradient actually reaches the scale
+
+    tx = optax.adam(1e-3)
+    st = tx.init(leaves)
+    for _ in range(800):
+        g = jax.grad(loss)(leaves)
+        u, st = tx.update(g, st)
+        leaves = optax.apply_updates(leaves, u)
+    mse_learned = float(loss(leaves))
+    mse_good = float(loss((good.delta, good.zero_float)))
+    # recovers to within 10% of the well-calibrated range's MSE
+    assert mse_learned < mse0 * 0.1
+    assert mse_learned < mse_good * 1.1, (mse_learned, mse_good)
+
+
+def test_grad_scaling_rescales_range_gradients():
+    """LSQ grad scaling (`calculate_grad_scale`, uniform_quantizers.py:150-157):
+    with grad_scaling=True the delta gradient is multiplied by
+    1/sqrt(int_max * numel)."""
+    import jax
+    import jax.numpy as jnp
+    from outeffhop_tpu.quant.fake_quant import QParams, fake_quant
+
+    x = jnp.linspace(-1.0, 1.0, 64)
+
+    def loss(delta, scaling):
+        q = QParams(delta=delta, zero_float=jnp.zeros(()), n_bits=8,
+                    symmetric=True, signed=True)
+        return jnp.sum(fake_quant(x, q, grad_scaling=scaling) ** 2)
+
+    g_plain = jax.grad(loss)(jnp.asarray(0.01), False)
+    g_scaled = jax.grad(loss)(jnp.asarray(0.01), True)
+    expect = float(g_plain) * (127 * 64) ** -0.5
+    assert abs(float(g_scaled) - expect) < abs(expect) * 1e-4 + 1e-8

@@ -40,3 +40,34 @@ def test_probe_tape_disabled_is_noop():
     out = tape.record("x", jnp.ones(3))
     assert out.shape == (3,)
     assert tape.values == {}
+
+
+def test_roofline_report_math():
+    from outeffhop_tpu.utils.profiling import Cost, roofline_report
+
+    peaks = {"bf16_tflops": 100.0, "int8_tops": 200.0, "hbm_gbps": 1000.0}
+    cost = Cost(flops=1e12, bytes_hbm=1e9)
+    rep = roofline_report(cost, seconds=0.02, dtype="bf16", peaks=peaks)
+    assert abs(rep["achieved_tflops"] - 50.0) < 1e-6
+    assert abs(rep["compute_fraction"] - 0.5) < 1e-6
+    assert abs(rep["bandwidth_fraction"] - 0.05) < 1e-6
+    assert rep["sol_fraction"] == rep["compute_fraction"]
+    assert abs(rep["arithmetic_intensity"] - 1000.0) < 1e-6
+
+
+def test_attention_cost_counts():
+    from outeffhop_tpu.utils.profiling import attention_cost
+
+    c = attention_cost(batch=2, heads=4, seq_q=128, seq_k=128, head_dim=64)
+    assert c.flops == 4.0 * 2 * 4 * 128 * 128 * 64
+    assert c.bytes_hbm == 2 * 4 * (2 * 128 + 2 * 128) * 64 * 2
+
+
+def test_benchmark_runs_on_cpu():
+    import jax.numpy as jnp
+    from outeffhop_tpu.utils.profiling import benchmark
+
+    import jax
+    f = jax.jit(lambda x: x * 2 + 1)
+    t = benchmark(f, jnp.ones((64, 64)), iters=3, warmup=1)
+    assert t > 0
