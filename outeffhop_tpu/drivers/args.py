@@ -61,6 +61,9 @@ def add_quant_args(p: argparse.ArgumentParser):
     g.add_argument("--per_channel", action="store_true", help="per-channel weight scales")
     g.add_argument("--no_weight_quant", action="store_true")
     g.add_argument("--no_act_quant", action="store_true")
+    g.add_argument("--execute_int8", action="store_true",
+                   help="run dense matmuls as real int8 MXU ops (deployment "
+                        "path) in addition to the fake-quant simulation")
 
 
 def add_training_args(p: argparse.ArgumentParser):
@@ -82,6 +85,11 @@ def add_training_args(p: argparse.ArgumentParser):
     g.add_argument("--resume_from_checkpoint", type=str, default=None)
     g.add_argument("--output_dir", type=str, default=None)
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--with_tracking", action="store_true",
+                   help="log scalars to JSONL/TB/wandb (args.py:201-220)")
+    g.add_argument("--report_to", type=str, default="jsonl",
+                   help="comma list: jsonl,tensorboard,wandb,all")
+    g.add_argument("--run_name", type=str, default=None)
 
 
 def add_data_args(p: argparse.ArgumentParser):

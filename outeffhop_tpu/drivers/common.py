@@ -36,15 +36,25 @@ def build_quant_ctx(
     forward_with_qctx: Callable,
     config: QuantizedModelConfig,
     calib_batches: Iterable,
+    execute_int8: bool = False,
 ) -> ScopedQuantCtx:
-    """discover → weight qparams → calibrate → freeze → run-mode ctx."""
+    """discover → weight qparams → calibrate → freeze → run-mode ctx.
+
+    `execute_int8=True` additionally freezes every calibrated symmetric dense
+    weight to Int8Dense so those matmuls run as real int8×int8→int32 MXU ops
+    (quant/int8_exec.py) instead of the fake-quant simulation."""
     calib_batches = list(calib_batches)
     ctx = QuantCtx.discover(config)
     forward_with_qctx(calib_batches[0], ScopedQuantCtx(ctx, ""))
     wq = compute_weight_qparams(ctx.discovered_weights, config)
     est = run_calibration(forward_with_qctx, config, wq, calib_batches)
     aq = freeze_act_qparams(est, config)
-    return ScopedQuantCtx(QuantCtx.run(config, wq, aq), "")
+    int8_map = None
+    if execute_int8:
+        from outeffhop_tpu.quant.int8_exec import build_int8_dense_map
+
+        int8_map = build_int8_dense_map(ctx.discovered_weights, wq)
+    return ScopedQuantCtx(QuantCtx.run(config, wq, aq, int8_dense=int8_map), "")
 
 
 def eval_loop(

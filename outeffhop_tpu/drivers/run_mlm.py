@@ -88,6 +88,9 @@ def main(argv=None):
     if args.checkpointing_steps and args.checkpointing_steps != "epoch":
         ckpt_every = int(args.checkpointing_steps)
 
+    from outeffhop_tpu.utils.tracking import init_tracker
+
+    tracker = init_tracker(args, config=vars(args))
     rng = jax.random.PRNGKey(args.seed + 7)
     completed = start_step
     losses = []
@@ -104,6 +107,8 @@ def main(argv=None):
             losses.append(float(loss))
             if (global_micro + 1) % args.gradient_accumulation_steps == 0:
                 completed += 1
+                if completed % 10 == 0:
+                    tracker.log({"train/loss": losses[-1]}, completed)
                 if ckpt_every and args.output_dir and completed % ckpt_every == 0:
                     save_checkpoint(args.output_dir, f"step_{completed}", state)
                 if completed >= total_steps:
@@ -145,6 +150,8 @@ def main(argv=None):
         save_checkpoint(args.output_dir, f"step_{completed}", state)
         with open(os.path.join(args.output_dir, "config.json"), "w") as f:
             json.dump({k: v for k, v in vars(args).items()}, f, indent=2, default=str)
+    tracker.log({"eval/perplexity": results["perplexity"]}, completed)
+    tracker.finish()
     write_results(args.output_dir, results)
     return results
 

@@ -264,6 +264,9 @@ def main(argv=None):
             start_epoch = idx + 1
             print(f"resumed from {path} (epoch {idx})")
 
+    from outeffhop_tpu.utils.tracking import init_tracker
+
+    tracker = init_tracker(args, config=vars(args))
     rng = jax.random.PRNGKey(args.seed + 99)
     best_top1, losses, completed = -1.0, [], 0
     batch_sharding = NamedSharding(mesh, batch_pspec())
@@ -292,6 +295,10 @@ def main(argv=None):
             if args.max_train_steps and completed >= args.max_train_steps:
                 break
         top1, top5 = validate(params)
+        tracker.log(
+            {"train/loss": losses[-1] if losses else 0.0, "eval/top1": top1,
+             "eval/top5": top5}, epoch,
+        )
         if args.model_ema:
             e1, _ = validate(ema_params)
             print(f"epoch {epoch}: top1 {top1:.4f} top5 {top5:.4f} ema_top1 {e1:.4f}")
@@ -316,6 +323,7 @@ def main(argv=None):
     }
     if args.model_ema:
         results["ema_top1"], results["ema_top5"] = validate(ema_params)
+    tracker.finish()
     if args.output_dir:
         with open(os.path.join(args.output_dir, "args.json"), "w") as f:
             json.dump(vars(args), f, indent=2, default=str)

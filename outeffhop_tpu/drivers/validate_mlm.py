@@ -162,6 +162,14 @@ def main(argv=None):
         results["int8_perplexity"] = math.exp(q_loss)
         results["delta_perplexity"] = results["int8_perplexity"] - results["perplexity"]
         results.update({f"int8_{k}": v for k, v in q_telem.items()})
+        if args.execute_int8:
+            xctx = build_quant_ctx(
+                lambda b, q: fwd(b, q), config, calib_batches, execute_int8=True
+            )
+            x_loss, _ = eval_loop(
+                loss_and_count, eval_batches, qctx=xctx, collect_telemetry=False
+            )
+            results["int8exec_perplexity"] = math.exp(x_loss)
 
     write_results(args.output_dir, results)
     return results

@@ -154,3 +154,39 @@ def test_run_vit_resume(tmp_path):
     res = main(["--num_train_epochs", "2", "--resume_from_checkpoint", out] + common)
     # resumed at epoch 1 → only one more epoch of 2 steps
     assert res["completed_steps"] == 2
+
+
+def test_validate_mlm_execute_int8(tmp_path):
+    """Real int8 MXU execution tracks the fake-quant simulation perplexity."""
+    from outeffhop_tpu.drivers.validate_mlm import main
+
+    res = main([
+        "--quantize", "--execute_int8", "--est_num_batches", "2",
+        "--synthetic_tokens", "20000", "--per_device_eval_batch_size", "8",
+        "--num_hidden_layers", "2", "--attn_softmax", "softmax1",
+        "--output_dir", str(tmp_path),
+    ])
+    assert "int8exec_perplexity" in res
+    rel = abs(res["int8exec_perplexity"] - res["int8_perplexity"]) / res["int8_perplexity"]
+    assert rel < 0.02, res
+
+
+def test_tracking_jsonl_and_tensorboard(tmp_path):
+    """--with_tracking writes metrics.jsonl (and a TB event dir when asked)."""
+    import json as _json
+    from outeffhop_tpu.drivers.run_vit import main
+
+    out = str(tmp_path / "tracked")
+    main([
+        "--num_train_epochs", "1", "--train_samples", "32",
+        "--per_device_train_batch_size", "16", "--per_device_eval_batch_size", "16",
+        "--img_size", "16", "--patch_size", "8", "--num_classes", "2",
+        "--hidden_size", "32", "--num_hidden_layers", "1",
+        "--num_attention_heads", "2", "--output_dir", out,
+        "--with_tracking", "--report_to", "jsonl,tensorboard", "--run_name", "t1",
+    ])
+    lines = [
+        _json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))
+    ]
+    assert any("eval/top1" in l for l in lines)
+    assert os.path.isdir(os.path.join(out, "tb", "t1"))
