@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -103,10 +103,12 @@ def make_prefill(cfg: OPTConfig, ecfg: EngineConfig):
     """slot admission: run the padded prompt, fill the slot's cache, sample
     token #1. jit-static in everything but the arrays."""
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(1,))
     def prefill(
         params, state: EngineState, slot: Array, prompt: Array, prompt_len: Array, rng
     ) -> EngineState:
+        # state is donated: the slot-pool caches update in place instead of
+        # being copied (O(L*slots*max_seq*D) HBM traffic per admission).
         P = ecfg.max_prompt
         mask = (jnp.arange(P)[None, :] < prompt_len).astype(jnp.int32)  # (1, P)
         logits, past = opt_forward(params, cfg, prompt[None, :], mask)
@@ -137,56 +139,82 @@ def make_prefill(cfg: OPTConfig, ecfg: EngineConfig):
     return prefill
 
 
+def _decode_body(cfg: OPTConfig, ecfg: EngineConfig, params, state: EngineState, rng):
+    """One decode step for every slot (pure; shared by the single-step and
+    scanned multi-step programs)."""
+    S = ecfg.max_slots
+    L = cfg.num_hidden_layers
+    len_km1 = jnp.maximum(state.lengths - 1, 0)  # current token position
+    cur = jnp.take_along_axis(state.tokens, len_km1[:, None], axis=1)  # (S, 1)
+
+    # cache positions [0, len-1) are valid past; the fresh K/V of the
+    # current token arrives concatenated at the end (slot max_seq).
+    past_valid = (
+        jnp.arange(ecfg.max_seq)[None, :] < len_km1[:, None]
+    ).astype(jnp.int32)
+    attn_mask = jnp.concatenate([past_valid, jnp.ones((S, 1), jnp.int32)], axis=1)
+
+    past_list = [(state.cache_k[l], state.cache_v[l]) for l in range(L)]
+    logits, new_past = opt_forward(
+        params, cfg, cur, attn_mask, past_key_values=past_list
+    )
+
+    # scatter the current K/V into each slot's row at its own position
+    def write_slot(cache_row, kv_row, pos):
+        # cache_row (H, max_seq, D) ← kv_row (H, 1, D) at [:, pos, :]
+        return jax.lax.dynamic_update_slice(cache_row, kv_row, (0, pos, 0))
+
+    ck, cv = state.cache_k, state.cache_v
+    for l, (k_l, v_l) in enumerate(new_past):
+        ck = ck.at[l].set(
+            jax.vmap(write_slot)(ck[l], k_l[:, :, -1:].astype(ck.dtype), len_km1)
+        )
+        cv = cv.at[l].set(
+            jax.vmap(write_slot)(cv[l], v_l[:, :, -1:].astype(cv.dtype), len_km1)
+        )
+
+    nxt = _sample(logits[:, -1], rng, ecfg.temperature, ecfg.top_k)
+    nxt = jnp.where(state.active, nxt, ecfg.pad_token_id)
+    tokens = jax.vmap(
+        lambda row, tok, pos: jax.lax.dynamic_update_slice(row, tok[None], (pos,))
+    )(state.tokens, nxt, state.lengths)
+    lengths = state.lengths + state.active.astype(jnp.int32)
+    active = (
+        state.active
+        & (nxt != ecfg.eos_token_id)
+        & (lengths < ecfg.max_seq)
+    )
+    return EngineState(ck, cv, tokens, lengths, active)
+
+
 def make_decode_step(cfg: OPTConfig, ecfg: EngineConfig):
-    """one token for every slot, batched; inactive slots are masked out."""
+    """One token for every slot, batched; inactive slots are masked out.
+    The state is donated: per-token cache writes are in-place (without
+    donation XLA copies the whole KV pool every step)."""
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(1,))
     def decode_step(params, state: EngineState, rng) -> EngineState:
-        S = ecfg.max_slots
-        L = cfg.num_hidden_layers
-        len_km1 = jnp.maximum(state.lengths - 1, 0)  # current token position
-        cur = jnp.take_along_axis(state.tokens, len_km1[:, None], axis=1)  # (S, 1)
-
-        # cache positions [0, len-1) are valid past; the fresh K/V of the
-        # current token arrives concatenated at the end (slot max_seq).
-        past_valid = (
-            jnp.arange(ecfg.max_seq)[None, :] < len_km1[:, None]
-        ).astype(jnp.int32)
-        attn_mask = jnp.concatenate([past_valid, jnp.ones((S, 1), jnp.int32)], axis=1)
-
-        past_list = [(state.cache_k[l], state.cache_v[l]) for l in range(L)]
-        logits, new_past = opt_forward(
-            params, cfg, cur, attn_mask, past_key_values=past_list
-        )
-
-        # scatter the current K/V into each slot's row at its own position
-        def write_slot(cache_row, kv_row, pos):
-            # cache_row (H, max_seq, D) ← kv_row (H, 1, D) at [:, pos, :]
-            return jax.lax.dynamic_update_slice(cache_row, kv_row, (0, pos, 0))
-
-        ck, cv = state.cache_k, state.cache_v
-        for l, (k_l, v_l) in enumerate(new_past):
-            ck = ck.at[l].set(
-                jax.vmap(write_slot)(ck[l], k_l[:, :, -1:].astype(ck.dtype), len_km1)
-            )
-            cv = cv.at[l].set(
-                jax.vmap(write_slot)(cv[l], v_l[:, :, -1:].astype(cv.dtype), len_km1)
-            )
-
-        nxt = _sample(logits[:, -1], rng, ecfg.temperature, ecfg.top_k)
-        nxt = jnp.where(state.active, nxt, ecfg.pad_token_id)
-        tokens = jax.vmap(
-            lambda row, tok, pos: jax.lax.dynamic_update_slice(row, tok[None], (pos,))
-        )(state.tokens, nxt, state.lengths)
-        lengths = state.lengths + state.active.astype(jnp.int32)
-        active = (
-            state.active
-            & (nxt != ecfg.eos_token_id)
-            & (lengths < ecfg.max_seq)
-        )
-        return EngineState(ck, cv, tokens, lengths, active)
+        return _decode_body(cfg, ecfg, params, state, rng)
 
     return decode_step
+
+
+def make_decode_n(cfg: OPTConfig, ecfg: EngineConfig, n: int):
+    """N decode steps in ONE dispatch (lax.scan). Through a remote-TPU tunnel
+    (or any high-dispatch-latency link) per-step host round-trips dominate
+    single-token decode; scanning N steps amortizes dispatch + the host's
+    eviction reads across N tokens. EOS semantics are preserved — `active`
+    updates inside the scan, so finished slots stop producing mid-chunk."""
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def decode_n(params, state: EngineState, rng) -> EngineState:
+        def body(s, i):
+            return _decode_body(cfg, ecfg, params, s, jax.random.fold_in(rng, i)), None
+
+        out, _ = jax.lax.scan(body, state, jnp.arange(n))
+        return out
+
+    return decode_n
 
 
 # ---------------------------------------------------------------------------
@@ -218,6 +246,7 @@ class ServingEngine:
         self.state = init_state(cfg, ecfg, dtype)
         self._prefill = make_prefill(cfg, ecfg)
         self._decode = make_decode_step(cfg, ecfg)
+        self._decode_n: Dict[int, Callable] = {}  # chunk size → compiled program
         self._queue: List[_Request] = []
         self._slots: List[Optional[_Request]] = [None] * ecfg.max_slots
         self._done: Dict[int, np.ndarray] = {}
@@ -257,7 +286,6 @@ class ServingEngine:
             req.prompt_len = len(req.prompt)
             req.admitted_at = self._step_count
             self._slots[slot] = req
-            self.tokens_generated += 1  # the prefill-sampled token
 
     def _evict_finished(self):
         lengths = np.asarray(self.state.lengths)
@@ -270,31 +298,48 @@ class ServingEngine:
             if (not active[slot]) or produced >= req.max_new_tokens:
                 if tokens is None:
                     tokens = np.asarray(self.state.tokens)
-                self._done[req.rid] = tokens[slot, : int(lengths[slot])].copy()
+                # clamp to the request budget: a multi-token chunk may have
+                # overshot max_new_tokens (extra tokens are discarded)
+                want = req.prompt_len + req.max_new_tokens
+                end = min(int(lengths[slot]), want)
+                self._done[req.rid] = tokens[slot, :end].copy()
+                self.tokens_generated += end - req.prompt_len
                 self._slots[slot] = None
                 self.state = dataclasses.replace(
                     self.state, active=self.state.active.at[slot].set(False)
                 )
 
-    def step(self):
-        """Admit → decode one token for all slots → evict finished."""
+    def step(self, decode_chunk: int = 1):
+        """Admit → decode `decode_chunk` tokens for all slots in one dispatch
+        → evict finished. chunk > 1 amortizes dispatch latency (critical on
+        high-latency links); EOS still stops a slot mid-chunk on-device."""
         self._admit()
         if any(self._slots):
             self._rng, k = jax.random.split(self._rng)
-            n_active = int(np.asarray(self.state.active).sum())
-            self.state = self._decode(self.params, self.state, k)
-            self.tokens_generated += n_active
-            self._step_count += 1
+            if decode_chunk <= 1:
+                self.state = self._decode(self.params, self.state, k)
+            else:
+                fn = self._decode_n.get(decode_chunk)
+                if fn is None:
+                    fn = make_decode_n(self.cfg, self.ecfg, decode_chunk)
+                    self._decode_n[decode_chunk] = fn
+                self.state = fn(self.params, self.state, k)
+            self._step_count += decode_chunk
         self._evict_finished()
 
     @property
     def busy(self) -> bool:
         return bool(self._queue) or any(r is not None for r in self._slots)
 
-    def run(self, max_steps: int = 100_000) -> Dict[int, np.ndarray]:
+    def run(self, max_steps: int = 100_000, decode_chunk: int = 1) -> Dict[int, np.ndarray]:
         steps = 0
         while self.busy and steps < max_steps:
-            self.step()
+            # don't overshoot: cap the chunk by the largest remaining budget
+            chunk = decode_chunk
+            live = [r for r in self._slots if r is not None]
+            if live and decode_chunk > 1:
+                chunk = min(decode_chunk, max(r.max_new_tokens for r in live))
+            self.step(decode_chunk=chunk)
             steps += 1
         return self.results()
 

@@ -98,3 +98,19 @@ def test_engine_slot_reuse_interleaved(opt):
     assert set(res) == {r1, r2}
     assert len(res[r1]) == 4 + 3
     assert len(res[r2]) == 5 + 3
+
+
+def test_engine_chunked_decode_matches_greedy(opt):
+    """decode_chunk>1 runs N steps per dispatch; outputs unchanged."""
+    cfg, params = opt
+    ecfg = EngineConfig(max_slots=2, max_seq=48, max_prompt=16, eos_token_id=999)
+    eng = ServingEngine(params, cfg, ecfg)
+    prompts = [np.random.RandomState(i).randint(3, 120, 5) for i in range(3)]
+    rids = [eng.submit(p, max_new_tokens=7) for p in prompts]
+    res = eng.run(decode_chunk=4)
+    for i, p in enumerate(prompts):
+        ref = np.asarray(greedy_generate(params, cfg, jnp.asarray(p)[None, :], 7))[0]
+        got = res[rids[i]]
+        assert len(got) == len(p) + 7  # budget respected despite chunk overshoot
+        np.testing.assert_array_equal(got, ref[: len(got)])
+    assert eng.tokens_generated == 3 * 7
