@@ -189,6 +189,7 @@ def opt_attention(
     dropout_rng=None,
     deterministic: bool = True,
     use_flash: bool = False,
+    decode_fast: bool = False,
 ) -> Tuple[Array, Optional[Tuple[Array, Array]]]:
     """OPT self-attention with extras; scaling folded into q
     (opt_attention.py:167)."""
@@ -199,11 +200,34 @@ def opt_attention(
     q_states = common.dense(params["q_proj"], hidden_states, q, "q_proj") * scaling
     k_states = split_heads(common.dense(params["k_proj"], hidden_states, q, "k_proj"), n_heads)
     v_states = split_heads(common.dense(params["v_proj"], hidden_states, q, "v_proj"), n_heads)
-    if past_key_value is not None:
+
+    # Single-token decode fast path (opt-in, `decode_fast=True`): score the
+    # query against the (static) cache and the fresh K/V separately instead
+    # of concatenating the cache with the new token — the concat
+    # materializes a (B, H, S+1, D) copy of BOTH caches per layer per step
+    # (≥2x the decode step's HBM traffic at serving shapes). Scores are
+    # tiny, so concatenating THEM is free. new_past becomes just the current
+    # token's (k, v) — callers that keep their own preallocated cache
+    # (serving engine, greedy_generate) index [:, :, -1], identical either
+    # way; callers that thread the returned past forward (the HF-style
+    # incremental API) must leave decode_fast off.
+    decode_fast = (
+        decode_fast
+        and past_key_value is not None
+        and hidden_states.shape[1] == 1
+        and not tape.enabled
+        and not q.enabled
+        and (deterministic or cfg.dropout == 0.0)
+    )
+    if decode_fast:
+        new_past = (k_states, v_states)
+    elif past_key_value is not None:
         k_states = jnp.concatenate([past_key_value[0], k_states], axis=2)
         v_states = jnp.concatenate([past_key_value[1], v_states], axis=2)
+        new_past = (k_states, v_states)
+    else:
+        new_past = (k_states, v_states)
     q_states = split_heads(q_states, n_heads)
-    new_past = (k_states, v_states)
 
     flash_ok = (
         use_flash
@@ -226,6 +250,18 @@ def opt_attention(
             scale=1.0,  # already folded into q
             causal=q_states.shape[2] > 1,
         )
+    elif decode_fast:
+        scores_past = jnp.einsum("bhqd,bhkd->bhqk", q_states, past_key_value[0])
+        scores_cur = jnp.einsum("bhqd,bhkd->bhqk", q_states, k_states)
+        scores = jnp.concatenate([scores_past, scores_cur], axis=-1)
+        if attention_mask is not None:
+            scores = scores + attention_mask
+            scores = jnp.maximum(scores, jnp.finfo(scores.dtype).min)
+        probs = cfg.softmax_fn()(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+        s_len = past_key_value[0].shape[2]
+        context = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs[..., :s_len], past_key_value[1]
+        ) + probs[..., s_len:] * v_states  # (B,H,1,1) * (B,H,1,D)
     else:
         scores = jnp.einsum("bhqd,bhkd->bhqk", q_states, k_states)
         scores = tape.record("attn_scores", scores)
@@ -258,6 +294,7 @@ def opt_decoder_layer(
     q: ScopedQuantCtx = NULL_QCTX,
     tape: ScopedTape = NULL_TAPE,
     past_key_value=None,
+    decode_fast: bool = False,
     padding_bias=None,
     dropout_rng=None,
     deterministic: bool = True,
@@ -310,6 +347,7 @@ def opt_forward(
     dropout_rng=None,
     deterministic: bool = True,
     use_flash: bool = False,
+    decode_fast: bool = False,
 ):
     """OPT decoder + LM head → (logits, new_past_key_values).
 
@@ -349,6 +387,7 @@ def opt_forward(
             q=q.scoped(f"layer{i}"), tape=tape.scoped(f"layer{i}"),
             past_key_value=pkv, padding_bias=padding_bias,
             dropout_rng=rngs[i], deterministic=deterministic, use_flash=use_flash,
+            decode_fast=decode_fast,
         )
         new_past.append(np_i)
     h = common.quant_layer_norm(params["final_ln"], h, q, "final_ln", cfg.layer_norm_eps)
@@ -424,7 +463,8 @@ def greedy_generate(
         )
         past_list = [(cache_k[l], cache_v[l]) for l in range(n_layers)]
         logits, new_past = opt_forward(
-            params, cfg, cur, attn_mask, past_key_values=past_list, use_flash=False
+            params, cfg, cur, attn_mask, past_key_values=past_list, use_flash=False,
+            decode_fast=True,
         )
         # new_past concatenated past+current has length total+1; instead write
         # the current k/v directly at position pos_len

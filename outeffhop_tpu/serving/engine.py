@@ -156,7 +156,7 @@ def _decode_body(cfg: OPTConfig, ecfg: EngineConfig, params, state: EngineState,
 
     past_list = [(state.cache_k[l], state.cache_v[l]) for l in range(L)]
     logits, new_past = opt_forward(
-        params, cfg, cur, attn_mask, past_key_values=past_list
+        params, cfg, cur, attn_mask, past_key_values=past_list, decode_fast=True
     )
 
     # scatter the current K/V into each slot's row at its own position
@@ -288,8 +288,9 @@ class ServingEngine:
             self._slots[slot] = req
 
     def _evict_finished(self):
-        lengths = np.asarray(self.state.lengths)
-        active = np.asarray(self.state.active)
+        # one host round-trip for both control arrays (matters on
+        # high-latency links; tokens fetched only if something finished)
+        lengths, active = jax.device_get((self.state.lengths, self.state.active))
         tokens = None
         for slot, req in enumerate(self._slots):
             if req is None:
