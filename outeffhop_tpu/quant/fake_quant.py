@@ -85,6 +85,10 @@ class QParams:
     symmetric: bool = False
     signed: bool = True  # only meaningful when symmetric
     eps: float = 1e-8
+    # "linear" stores delta directly; "log" stores log(delta) so a learned
+    # scale stays positive during range training (`AsymmetricUniformQuantizer`
+    # scale_domain option, uniform_quantizers.py:30-48)
+    scale_domain: str = "linear"
 
     @property
     def int_min(self) -> float:
@@ -101,6 +105,8 @@ class QParams:
 
     @property
     def scale(self) -> Array:
+        if self.scale_domain == "log":
+            return jnp.exp(self.delta)
         return jnp.maximum(self.delta, self.eps)
 
     @property
@@ -128,7 +134,7 @@ class QParams:
 jax.tree_util.register_dataclass(
     QParams,
     data_fields=["delta", "zero_float"],
-    meta_fields=["n_bits", "symmetric", "signed", "eps"],
+    meta_fields=["n_bits", "symmetric", "signed", "eps", "scale_domain"],
 )
 
 

@@ -161,6 +161,7 @@ class MSEEstimator(RangeEstimator):
     num_candidates: int = 100
     range_margin: float = 0.5
     per_channel: bool = False
+    opt_method: str = "grid"  # grid | golden_section (OptMethod, :109-111)
 
     def init_state(self):
         # (search_range_def, loss_accumulator); defined on first batch
@@ -224,6 +225,13 @@ class MSEEstimator(RangeEstimator):
         return x  # MSE needs the raw tensor
 
     def update(self, state, x: Array):
+        if self.opt_method == "golden_section":
+            # golden search needs the data at finalize time; accumulate
+            # tensors (weights/embeddings only — one "batch" in practice)
+            if state is None:
+                return (self._define_search(x), [x])
+            search, xs = state
+            return (search, xs + [x])
         if state is None:
             search = self._define_search(x)
             loss = self._candidate_losses(search, x)
@@ -231,9 +239,66 @@ class MSEEstimator(RangeEstimator):
         search, loss = state
         return (search, loss + self._candidate_losses(search, x))
 
+    # -- golden-section search (OptMethod.golden_section,
+    #    range_estimators.py — scipy.optimize golden equivalent) --
+    def _golden_minimize(self, f, lo: float, hi: float, iters: int = 40) -> float:
+        gr = (np.sqrt(5.0) - 1.0) / 2.0
+        a, b = lo, hi
+        c = b - gr * (b - a)
+        d = a + gr * (b - a)
+        fc, fd = f(c), f(d)
+        for _ in range(iters):
+            if fc < fd:
+                b, d, fd = d, c, fc
+                c = b - gr * (b - a)
+                fc = f(c)
+            else:
+                a, c, fc = c, d, fd
+                d = a + gr * (b - a)
+                fd = f(d)
+        return (a + b) / 2.0
+
+    def _finalize_golden(self, search, xs):
+        def total_mse(neg, pos):
+            return float(sum(float(jnp.sum(self._quant_mse(x, neg, pos, False))) for x in xs))
+
+        if search["mode"] == "1d":
+            one_sided = search["one_sided"]
+            thr = self._golden_minimize(
+                lambda t: total_mse(0.0 if one_sided else -t, t),
+                search["max_range"] / self.num_candidates,
+                search["max_range"],
+            )
+            xmin = 0.0 if one_sided else -thr
+            return (
+                jnp.asarray(xmin, jnp.float32),
+                jnp.asarray(thr, jnp.float32),
+            )
+        # 2d asymmetric: golden over the range size, then over the skew
+        # (the reference's asymmetric-with-skew search, sequentially)
+        def mse_for_size(size):
+            return total_mse(max(-size, search["max_neg_thr"]), min(size, search["max_pos_thr"]))
+
+        size = self._golden_minimize(
+            mse_for_size, search["max_range"] / self.num_candidates, search["max_range"]
+        )
+        half = size
+        skew = self._golden_minimize(
+            lambda s: total_mse(
+                max(-half + s, search["max_neg_thr"]), min(half + s, search["max_pos_thr"])
+            ),
+            -half / 2,
+            half / 2,
+        )
+        xmin = max(-half + skew, search["max_neg_thr"])
+        xmax = min(half + skew, search["max_pos_thr"])
+        return jnp.asarray(xmin, jnp.float32), jnp.asarray(xmax, jnp.float32)
+
     def finalize(self, state):
         if state is None:
             raise ValueError("no data passed to range estimator")
+        if self.opt_method == "golden_section":
+            return self._finalize_golden(*state)
         search, loss = state
         step = search["max_range"] / self.num_candidates
         if search["mode"] == "1d":

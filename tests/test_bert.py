@@ -224,3 +224,35 @@ def test_decomposed_ln_flags():
         params, cfg, ids, mask, q=ScopedQuantCtx(QuantCtx.run(config, wq, aq), "")
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_relative_position_attention_modes():
+    """relative_key / relative_key_query score terms
+    (bert_attention.py:224-263): run, differ from absolute, grads finite."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from outeffhop_tpu.ops.attention import (
+        AttentionExtrasConfig,
+        attention_extras_params,
+        attention_with_extras,
+    )
+
+    x = jnp.asarray(np.random.RandomState(0).normal(size=(2, 10, 32)), jnp.float32)
+    outs = {}
+    for mode in ("absolute", "relative_key", "relative_key_query"):
+        cfg = AttentionExtrasConfig(
+            hidden_size=32, num_heads=4, softmax="softmax1",
+            position_embedding_type=mode, max_position_embeddings=16,
+        )
+        params = attention_extras_params(jax.random.PRNGKey(0), cfg)
+        if mode != "absolute":
+            assert "distance_embedding" in params
+        out, _, _ = attention_with_extras(params, cfg, x, None)
+        outs[mode] = out
+        g = jax.grad(lambda p: attention_with_extras(p, cfg, x, None)[0].sum())(params)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
+    assert not np.allclose(np.asarray(outs["absolute"]), np.asarray(outs["relative_key"]))
+    assert not np.allclose(
+        np.asarray(outs["relative_key"]), np.asarray(outs["relative_key_query"])
+    )

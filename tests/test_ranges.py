@@ -114,3 +114,70 @@ def test_make_estimator_registry():
     assert isinstance(make_estimator("running_minmax"), RunningMinMax)
     assert isinstance(make_estimator("current_minmax"), CurrentMinMax)
     assert isinstance(make_estimator("mse", symmetric=True), MSEEstimator)
+
+
+def test_mse_golden_section_1d_symmetric():
+    """golden_section finds (or beats) the grid optimum for symmetric ranges
+    (OptMethod.golden_section, range_estimators.py:109-111)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from outeffhop_tpu.quant.fake_quant import fake_quant, qparams_from_range_symmetric
+    from outeffhop_tpu.quant.ranges import MSEEstimator
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(np.concatenate([rs.normal(0, 1, 4000), rs.uniform(-6, 6, 200)]),
+                    jnp.float32).reshape(1, -1)
+
+    def mse_at(thr):
+        qp = qparams_from_range_symmetric(-thr, thr, n_bits=8, signed=True)
+        return float(jnp.mean((fake_quant(x, qp) - x) ** 2))
+
+    grid = MSEEstimator(n_bits=8, symmetric=True, opt_method="grid")
+    sg = grid.update(grid.init_state(), x)
+    gmin, gmax = grid.finalize(sg)
+
+    gold = MSEEstimator(n_bits=8, symmetric=True, opt_method="golden_section")
+    st = gold.update(gold.init_state(), x)
+    lo, hi = gold.finalize(st)
+    assert float(lo) == -float(hi)
+    # golden must be at least as good as the 100-candidate grid...
+    assert mse_at(float(hi)) <= mse_at(float(gmax)) * 1.02
+    # ...and never worse than naive minmax
+    assert mse_at(float(hi)) <= mse_at(float(jnp.max(jnp.abs(x)))) * 1.001
+
+
+def test_mse_golden_section_2d_asymmetric():
+    import jax.numpy as jnp
+    import numpy as np
+    from outeffhop_tpu.quant.ranges import MSEEstimator
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.normal(2.0, 1.0, 4000), jnp.float32).reshape(1, -1)
+    est = MSEEstimator(n_bits=8, symmetric=False, opt_method="golden_section")
+    lo, hi = est.finalize(est.update(est.init_state(), x))
+    assert float(lo) < float(hi)
+    # the skew search should shift the range toward the positive mass
+    assert abs(float(hi)) > abs(float(lo))
+
+
+def test_log_scale_domain_qparams():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from outeffhop_tpu.quant.fake_quant import QParams, fake_quant
+
+    x = jnp.linspace(-1.0, 1.0, 101)
+    lin = QParams(delta=jnp.asarray(0.01), zero_float=jnp.asarray(100.0),
+                  n_bits=8, symmetric=False)
+    log = QParams(delta=jnp.log(jnp.asarray(0.01)), zero_float=jnp.asarray(100.0),
+                  n_bits=8, symmetric=False, scale_domain="log")
+    np.testing.assert_allclose(
+        np.asarray(fake_quant(x, lin)), np.asarray(fake_quant(x, log)), rtol=1e-6
+    )
+    # learned-log-scale gradient is finite and nonzero
+    g = jax.grad(
+        lambda d: jnp.sum(fake_quant(x, QParams(
+            delta=d, zero_float=jnp.asarray(100.0), n_bits=8,
+            symmetric=False, scale_domain="log")) ** 2)
+    )(jnp.log(jnp.asarray(0.01)))
+    assert bool(jnp.isfinite(g)) and float(jnp.abs(g)) > 0
