@@ -73,6 +73,10 @@ def dense(
         from outeffhop_tpu.quant.int8_exec import int8_dense_apply
 
         y = int8_dense_apply(ip, x)
+        if ip.bias is None and params.get("bias") is not None:
+            # Int8Dense built from discovered weights only: the float bias
+            # still lives in the param pytree — add it here
+            y = y + params["bias"]
         if activation is not None:
             y = activation(y)
         return q.act(name, y)

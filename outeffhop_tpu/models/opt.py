@@ -216,7 +216,7 @@ def opt_attention(
         and past_key_value is not None
         and hidden_states.shape[1] == 1
         and not tape.enabled
-        and not q.enabled
+        and not q.act_sites_enabled
         and (deterministic or cfg.dropout == 0.0)
     )
     if decode_fast:
@@ -232,7 +232,7 @@ def opt_attention(
     flash_ok = (
         use_flash
         and not tape.enabled
-        and not q.enabled
+        and not q.act_sites_enabled
         and cfg.attn_softmax in ("vanilla", "softmax1")
         and cfg.alpha is None
         and cfg.attn_gate_type == "none"

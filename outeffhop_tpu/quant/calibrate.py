@@ -222,6 +222,21 @@ class ScopedQuantCtx:
     def enabled(self) -> bool:
         return self._ctx is not None
 
+    @property
+    def act_sites_enabled(self) -> bool:
+        """True when activation quant sites actually do something — False for
+        a run-mode ctx carrying only int8 weights (act_qparams empty, acts
+        disabled). Fast paths (flash attention, decode_fast) that must skip
+        only when score/prob sites are live key off this, not `enabled`."""
+        ctx = self._ctx
+        if ctx is None:
+            return False
+        if ctx.mode in ("discover", "calibrate"):
+            return True
+        if ctx.act_qparams and any(v is not None for v in ctx.act_qparams.values()):
+            return True
+        return False
+
 
 NULL_QCTX = ScopedQuantCtx(None, "")
 

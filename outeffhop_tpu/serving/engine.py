@@ -94,14 +94,42 @@ def _sample(logits: Array, rng: Array, temperature: float, top_k: int) -> Array:
     return jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
 
 
+def make_int8_weight_ctx(params, cfg: OPTConfig):
+    """Freeze every dense weight of the model to Int8Dense (symmetric
+    per-out-channel) and return a run-mode quant ctx that executes those
+    matmuls as int8 x int8 -> int32 with dynamic per-tensor input
+    quantization. Activation sites stay inert, so the flash/decode fast
+    paths remain available (ctx.act_sites_enabled is False). Weight-only
+    int8 halves the decode step's dominant HBM traffic (weight reads)."""
+    from outeffhop_tpu.quant.calibrate import QuantCtx, ScopedQuantCtx, compute_weight_qparams
+    from outeffhop_tpu.quant.config import QuantizedModelConfig
+    from outeffhop_tpu.quant.int8_exec import build_int8_dense_map
+
+    qcfg = QuantizedModelConfig(
+        weight_method="symmetric_uniform",
+        per_channel_weights=True,
+        quantize_acts=False,
+        quant_setup="fp32_head",  # LM head / embeddings stay float
+    )
+    ctx = QuantCtx.discover(qcfg)
+    dummy = jnp.zeros((1, 2), jnp.int32)
+    opt_forward(params, cfg, dummy, q=ctx.scoped(""))
+    wq = compute_weight_qparams(ctx.discovered_weights, qcfg)
+    int8_map = build_int8_dense_map(ctx.discovered_weights, wq)
+    return ScopedQuantCtx(QuantCtx.run(qcfg, {}, {}, int8_dense=int8_map), "")
+
+
 # ---------------------------------------------------------------------------
 # Compiled engine programs
 # ---------------------------------------------------------------------------
 
 
-def make_prefill(cfg: OPTConfig, ecfg: EngineConfig):
+def make_prefill(cfg: OPTConfig, ecfg: EngineConfig, qctx=None):
     """slot admission: run the padded prompt, fill the slot's cache, sample
     token #1. jit-static in everything but the arrays."""
+    from outeffhop_tpu.quant.calibrate import NULL_QCTX
+
+    qctx = qctx if qctx is not None else NULL_QCTX
 
     @partial(jax.jit, donate_argnums=(1,))
     def prefill(
@@ -111,7 +139,7 @@ def make_prefill(cfg: OPTConfig, ecfg: EngineConfig):
         # being copied (O(L*slots*max_seq*D) HBM traffic per admission).
         P = ecfg.max_prompt
         mask = (jnp.arange(P)[None, :] < prompt_len).astype(jnp.int32)  # (1, P)
-        logits, past = opt_forward(params, cfg, prompt[None, :], mask)
+        logits, past = opt_forward(params, cfg, prompt[None, :], mask, q=qctx)
         last = logits[0, jnp.maximum(prompt_len - 1, 0)]
         first_tok = _sample(last[None, :], rng, ecfg.temperature, ecfg.top_k)[0]
 
@@ -139,9 +167,13 @@ def make_prefill(cfg: OPTConfig, ecfg: EngineConfig):
     return prefill
 
 
-def _decode_body(cfg: OPTConfig, ecfg: EngineConfig, params, state: EngineState, rng):
+def _decode_body(cfg: OPTConfig, ecfg: EngineConfig, params, state: EngineState, rng,
+                 qctx=None):
     """One decode step for every slot (pure; shared by the single-step and
     scanned multi-step programs)."""
+    from outeffhop_tpu.quant.calibrate import NULL_QCTX
+
+    qctx = qctx if qctx is not None else NULL_QCTX
     S = ecfg.max_slots
     L = cfg.num_hidden_layers
     len_km1 = jnp.maximum(state.lengths - 1, 0)  # current token position
@@ -156,7 +188,8 @@ def _decode_body(cfg: OPTConfig, ecfg: EngineConfig, params, state: EngineState,
 
     past_list = [(state.cache_k[l], state.cache_v[l]) for l in range(L)]
     logits, new_past = opt_forward(
-        params, cfg, cur, attn_mask, past_key_values=past_list, decode_fast=True
+        params, cfg, cur, attn_mask, past_key_values=past_list, decode_fast=True,
+        q=qctx,
     )
 
     # scatter the current K/V into each slot's row at its own position
@@ -187,19 +220,19 @@ def _decode_body(cfg: OPTConfig, ecfg: EngineConfig, params, state: EngineState,
     return EngineState(ck, cv, tokens, lengths, active)
 
 
-def make_decode_step(cfg: OPTConfig, ecfg: EngineConfig):
+def make_decode_step(cfg: OPTConfig, ecfg: EngineConfig, qctx=None):
     """One token for every slot, batched; inactive slots are masked out.
     The state is donated: per-token cache writes are in-place (without
     donation XLA copies the whole KV pool every step)."""
 
     @partial(jax.jit, donate_argnums=(1,))
     def decode_step(params, state: EngineState, rng) -> EngineState:
-        return _decode_body(cfg, ecfg, params, state, rng)
+        return _decode_body(cfg, ecfg, params, state, rng, qctx)
 
     return decode_step
 
 
-def make_decode_n(cfg: OPTConfig, ecfg: EngineConfig, n: int):
+def make_decode_n(cfg: OPTConfig, ecfg: EngineConfig, n: int, qctx=None):
     """N decode steps in ONE dispatch (lax.scan). Through a remote-TPU tunnel
     (or any high-dispatch-latency link) per-step host round-trips dominate
     single-token decode; scanning N steps amortizes dispatch + the host's
@@ -209,7 +242,7 @@ def make_decode_n(cfg: OPTConfig, ecfg: EngineConfig, n: int):
     @partial(jax.jit, donate_argnums=(1,))
     def decode_n(params, state: EngineState, rng) -> EngineState:
         def body(s, i):
-            return _decode_body(cfg, ecfg, params, s, jax.random.fold_in(rng, i)), None
+            return _decode_body(cfg, ecfg, params, s, jax.random.fold_in(rng, i), qctx), None
 
         out, _ = jax.lax.scan(body, state, jnp.arange(n))
         return out
@@ -239,13 +272,15 @@ class ServingEngine:
     active slot one token; results() drains finished generations.
     """
 
-    def __init__(self, params, cfg: OPTConfig, ecfg: EngineConfig, dtype=jnp.float32):
+    def __init__(self, params, cfg: OPTConfig, ecfg: EngineConfig, dtype=jnp.float32,
+                 int8_weights: bool = False):
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg
         self.state = init_state(cfg, ecfg, dtype)
-        self._prefill = make_prefill(cfg, ecfg)
-        self._decode = make_decode_step(cfg, ecfg)
+        self._qctx = make_int8_weight_ctx(params, cfg) if int8_weights else None
+        self._prefill = make_prefill(cfg, ecfg, self._qctx)
+        self._decode = make_decode_step(cfg, ecfg, self._qctx)
         self._decode_n: Dict[int, Callable] = {}  # chunk size → compiled program
         self._queue: List[_Request] = []
         self._slots: List[Optional[_Request]] = [None] * ecfg.max_slots
@@ -322,7 +357,7 @@ class ServingEngine:
             else:
                 fn = self._decode_n.get(decode_chunk)
                 if fn is None:
-                    fn = make_decode_n(self.cfg, self.ecfg, decode_chunk)
+                    fn = make_decode_n(self.cfg, self.ecfg, decode_chunk, self._qctx)
                     self._decode_n[decode_chunk] = fn
                 self.state = fn(self.params, self.state, k)
             self._step_count += decode_chunk

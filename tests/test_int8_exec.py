@@ -182,3 +182,27 @@ def test_int8_wired_through_model_dense():
     ctx2 = QuantCtx.run(QuantizedModelConfig(), {}, {})
     ref = common.dense(p, x, q=ctx2.scoped("blk"), name="fc")
     np.testing.assert_allclose(np.asarray(ref), np.asarray(x @ p["weight"].T + p["bias"]), rtol=1e-5)
+
+
+def test_int8_wired_dense_keeps_float_bias():
+    """Int8Dense built without a bias (discover-pass map) must still add the
+    param pytree's float bias in common.dense."""
+    from outeffhop_tpu.models import common
+    from outeffhop_tpu.quant.calibrate import QuantCtx
+    from outeffhop_tpu.quant.config import QuantizedModelConfig
+    from outeffhop_tpu.quant.int8_exec import Int8Dense
+
+    p = _dense_params(16, 32, seed=60)
+    p["bias"] = p["bias"] + 3.0  # decidedly nonzero
+    x = _rand((4, 32), 61)
+    ip_nobias = Int8Dense(
+        w_int=quantize_dense(p).w_int,
+        w_scale=quantize_dense(p).w_scale,
+        w_colsum=quantize_dense(p).w_colsum,
+        bias=None,
+    )
+    ctx = QuantCtx.run(QuantizedModelConfig(), {}, {}, int8_dense={"m.fc|w": ip_nobias})
+    got = common.dense(p, x, q=ctx.scoped("m"), name="fc")
+    ref = x @ p["weight"].T + p["bias"]
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.05, rel

@@ -114,3 +114,35 @@ def test_engine_chunked_decode_matches_greedy(opt):
         assert len(got) == len(p) + 7  # budget respected despite chunk overshoot
         np.testing.assert_array_equal(got, ref[: len(got)])
     assert eng.tokens_generated == 3 * 7
+
+
+def test_engine_int8_weights(opt):
+    """int8_weights=True executes decode matmuls in int8; logits track the
+    float engine closely enough that short greedy generations stay sane."""
+    cfg, params = opt
+    ecfg = EngineConfig(max_slots=2, max_seq=40, max_prompt=16, eos_token_id=999)
+    eng8 = ServingEngine(params, cfg, ecfg, int8_weights=True)
+    engf = ServingEngine(params, cfg, ecfg)
+    p = np.random.RandomState(0).randint(3, 120, 6)
+    r8 = eng8.submit(p, max_new_tokens=4)
+    rf = engf.submit(p, max_new_tokens=4)
+    out8 = eng8.run()[r8]
+    outf = engf.run()[rf]
+    assert out8.shape == outf.shape
+    # prompt echoed identically; generated tokens in-vocab
+    np.testing.assert_array_equal(out8[:6], outf[:6])
+    assert (out8 >= 0).all() and (out8 < cfg.vocab_size).all()
+
+
+def test_int8_weight_ctx_head_stays_float(opt):
+    from outeffhop_tpu.serving.engine import make_int8_weight_ctx
+
+    cfg, params = opt
+    qctx = make_int8_weight_ctx(params, cfg)
+    keys = list(qctx._ctx.int8_dense)
+    # every transformer dense site frozen; head/embeddings absent
+    assert any("q_proj" in k for k in keys)
+    assert any("fc1" in k for k in keys)
+    assert not any("head" in k for k in keys)
+    assert not any("embed" in k for k in keys)
+    assert qctx.act_sites_enabled is False
