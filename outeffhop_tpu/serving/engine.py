@@ -168,25 +168,34 @@ def make_prefill(cfg: OPTConfig, ecfg: EngineConfig, qctx=None):
 
 
 def _decode_body(cfg: OPTConfig, ecfg: EngineConfig, params, state: EngineState, rng,
-                 qctx=None):
+                 qctx=None, bucket: Optional[int] = None):
     """One decode step for every slot (pure; shared by the single-step and
-    scanned multi-step programs)."""
+    scanned multi-step programs).
+
+    `bucket` (static) restricts attention to the first `bucket` cache
+    positions. Decode is KV-cache-bandwidth-bound (measured: int8 weights
+    don't move the step time at slots=8/seq=512), so reading only the live
+    prefix of the cache — a static slice chosen by the host from the actual
+    lengths — is the big lever: bucket 128 reads 1/4 the cache of 512."""
     from outeffhop_tpu.quant.calibrate import NULL_QCTX
 
     qctx = qctx if qctx is not None else NULL_QCTX
     S = ecfg.max_slots
     L = cfg.num_hidden_layers
+    B = bucket or ecfg.max_seq
     len_km1 = jnp.maximum(state.lengths - 1, 0)  # current token position
     cur = jnp.take_along_axis(state.tokens, len_km1[:, None], axis=1)  # (S, 1)
 
     # cache positions [0, len-1) are valid past; the fresh K/V of the
-    # current token arrives concatenated at the end (slot max_seq).
+    # current token arrives concatenated at the end (slot bucket).
     past_valid = (
-        jnp.arange(ecfg.max_seq)[None, :] < len_km1[:, None]
+        jnp.arange(B)[None, :] < len_km1[:, None]
     ).astype(jnp.int32)
     attn_mask = jnp.concatenate([past_valid, jnp.ones((S, 1), jnp.int32)], axis=1)
 
-    past_list = [(state.cache_k[l], state.cache_v[l]) for l in range(L)]
+    past_list = [
+        (state.cache_k[l, :, :, :B], state.cache_v[l, :, :, :B]) for l in range(L)
+    ]
     logits, new_past = opt_forward(
         params, cfg, cur, attn_mask, past_key_values=past_list, decode_fast=True,
         q=qctx,
@@ -232,7 +241,8 @@ def make_decode_step(cfg: OPTConfig, ecfg: EngineConfig, qctx=None):
     return decode_step
 
 
-def make_decode_n(cfg: OPTConfig, ecfg: EngineConfig, n: int, qctx=None):
+def make_decode_n(cfg: OPTConfig, ecfg: EngineConfig, n: int, qctx=None,
+                  bucket: Optional[int] = None):
     """N decode steps in ONE dispatch (lax.scan). Through a remote-TPU tunnel
     (or any high-dispatch-latency link) per-step host round-trips dominate
     single-token decode; scanning N steps amortizes dispatch + the host's
@@ -242,7 +252,9 @@ def make_decode_n(cfg: OPTConfig, ecfg: EngineConfig, n: int, qctx=None):
     @partial(jax.jit, donate_argnums=(1,))
     def decode_n(params, state: EngineState, rng) -> EngineState:
         def body(s, i):
-            return _decode_body(cfg, ecfg, params, s, jax.random.fold_in(rng, i), qctx), None
+            return _decode_body(
+                cfg, ecfg, params, s, jax.random.fold_in(rng, i), qctx, bucket
+            ), None
 
         out, _ = jax.lax.scan(body, state, jnp.arange(n))
         return out
@@ -289,6 +301,7 @@ class ServingEngine:
         self._step_count = 0
         self._rng = jax.random.PRNGKey(0)
         self.tokens_generated = 0
+        self._max_len = 0  # host-side upper bound on max slot length
 
     def submit(self, prompt_ids, max_new_tokens: int = 32) -> int:
         prompt = np.asarray(prompt_ids, np.int32)
@@ -321,11 +334,14 @@ class ServingEngine:
             req.prompt_len = len(req.prompt)
             req.admitted_at = self._step_count
             self._slots[slot] = req
+            self._max_len = max(self._max_len, req.prompt_len + 1)
 
     def _evict_finished(self):
         # one host round-trip for both control arrays (matters on
         # high-latency links; tokens fetched only if something finished)
         lengths, active = jax.device_get((self.state.lengths, self.state.active))
+        occupied = [r.slot for r in self._slots if r is not None]
+        self._max_len = int(max((lengths[sl] for sl in occupied), default=0))
         tokens = None
         for slot, req in enumerate(self._slots):
             if req is None:
@@ -345,6 +361,17 @@ class ServingEngine:
                     self.state, active=self.state.active.at[slot].set(False)
                 )
 
+    def _pick_bucket(self, decode_chunk: int) -> int:
+        """Smallest power-of-two cache prefix that covers every slot through
+        the end of this chunk. Decode reads only cache[:, :, :bucket] —
+        the dominant HBM traffic — so short sequences decode proportionally
+        faster; one program is compiled per (chunk, bucket) and reused."""
+        need = min(self.ecfg.max_seq, self._max_len + decode_chunk + 1)
+        bucket = 64
+        while bucket < need:
+            bucket *= 2
+        return min(bucket, self.ecfg.max_seq)
+
     def step(self, decode_chunk: int = 1):
         """Admit → decode `decode_chunk` tokens for all slots in one dispatch
         → evict finished. chunk > 1 amortizes dispatch latency (critical on
@@ -352,15 +379,17 @@ class ServingEngine:
         self._admit()
         if any(self._slots):
             self._rng, k = jax.random.split(self._rng)
-            if decode_chunk <= 1:
-                self.state = self._decode(self.params, self.state, k)
-            else:
-                fn = self._decode_n.get(decode_chunk)
-                if fn is None:
-                    fn = make_decode_n(self.cfg, self.ecfg, decode_chunk, self._qctx)
-                    self._decode_n[decode_chunk] = fn
-                self.state = fn(self.params, self.state, k)
+            bucket = self._pick_bucket(decode_chunk)
+            key = (max(decode_chunk, 1), bucket)
+            fn = self._decode_n.get(key)
+            if fn is None:
+                fn = make_decode_n(
+                    self.cfg, self.ecfg, max(decode_chunk, 1), self._qctx, bucket
+                )
+                self._decode_n[key] = fn
+            self.state = fn(self.params, self.state, k)
             self._step_count += decode_chunk
+            self._max_len += decode_chunk
         self._evict_finished()
 
     @property

@@ -146,3 +146,18 @@ def test_int8_weight_ctx_head_stays_float(opt):
     assert not any("head" in k for k in keys)
     assert not any("embed" in k for k in keys)
     assert qctx.act_sites_enabled is False
+
+
+def test_engine_bucketed_decode_correct_across_boundary(opt):
+    """Bucket growth (64 → 128) must not change outputs: run with max_seq big
+    enough that lengths cross the first bucket boundary mid-generation."""
+    cfg, params = opt
+    ecfg = EngineConfig(max_slots=1, max_seq=160, max_prompt=64, eos_token_id=999)
+    eng = ServingEngine(params, cfg, ecfg)
+    prompt = np.random.RandomState(3).randint(3, 120, 60)  # 60 + 80 crosses 64 and 128
+    rid = eng.submit(prompt, max_new_tokens=80)
+    res = eng.run(decode_chunk=8)
+    ref = np.asarray(greedy_generate(params, cfg, jnp.asarray(prompt)[None, :], 80))[0]
+    np.testing.assert_array_equal(res[rid], ref[: len(res[rid])])
+    # multiple bucket programs were actually compiled
+    assert len({k[1] for k in eng._decode_n}) >= 2
