@@ -8,12 +8,18 @@ STanHop model families, outlier telemetry (∞-norm, kurtosis), and mesh-sharded
 multi-chip execution.
 
 Layering (bottom-up):
-    ops/       softmax variants, entmax family, attention math, Pallas kernels
-    quant/     fake-quant (STE), range estimators, calibration, quant configs
-    models/    BERT, OPT, ViT, STanHop, Hopfield theory layers
-    parallel/  mesh construction + sharding rules (pjit/NamedSharding)
-    utils/     HF checkpoint conversion, metrics, misc
-    drivers/   validate_mlm / validate_clm / validate_vit / stanhop experiment
+    native/    C++ host dataio (MLM masking, CSV parse, window gather)
+    ops/       softmax variants, entmax family, attention math, Pallas
+               kernels (flash softmax_n, W8A8 matmul)
+    quant/     fake-quant (STE), range estimators, calibration, policies,
+               real-INT8 execution
+    models/    BERT, OPT, ViT, STanHop
+    theory/    MHN retrieval dynamics, Hopfield layers, ViH experiments
+    parallel/  mesh + sharding rules, multi-host bootstrap, train steps
+    serving/   continuous-batching generation engine
+    data/      token + time-series pipelines (routed through native/)
+    utils/     HF conversion, checkpointing, metrics, profiling, tracking
+    drivers/   run_{mlm,clm,vit}, validate_{mlm,clm,vit}, main_stanhop
 """
 
 __version__ = "0.1.0"
