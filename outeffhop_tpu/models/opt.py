@@ -231,6 +231,8 @@ def opt_attention(
 
     flash_ok = (
         use_flash
+        and not decode_fast  # decode_fast skipped the KV concat: flash would
+        # silently attend over only the current token's K/V, ignoring the cache
         and not tape.enabled
         and not q.act_sites_enabled
         and cfg.attn_softmax in ("vanilla", "softmax1")
@@ -312,6 +314,7 @@ def opt_decoder_layer(
         q=q.scoped("self_attn"), tape=tape.scoped("self_attn"),
         past_key_value=past_key_value, padding_bias=padding_bias,
         dropout_rng=rngs[0], deterministic=deterministic, use_flash=use_flash,
+        decode_fast=decode_fast,
     )
     h = common.dropout(h, cfg.dropout, rngs[1], deterministic)
     h = residual + h

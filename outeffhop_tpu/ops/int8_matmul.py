@@ -102,9 +102,12 @@ def w8a8_matmul_pallas(
 ) -> Array:
     M, K = x_int.shape
     N = w_int.shape[1]
-    bm = min(bm, max(32, M))
-    bn = min(bn, max(128, N))
-    bk = min(bk, max(128, K))
+    # clamp blocks to the problem size, then round UP to the int8 TPU tile
+    # granularity (32, 128) — a ragged M like 40 must not yield bm=40;
+    # _pad_to pads the operands to the (tile-aligned) block multiples
+    bm = -(-min(bm, max(32, M)) // 32) * 32
+    bn = -(-min(bn, max(128, N)) // 128) * 128
+    bk = -(-min(bk, max(128, K)) // 128) * 128
     xp = _pad_to(_pad_to(x_int, bm, 0), bk, 1)
     wp = _pad_to(_pad_to(w_int, bk, 0), bn, 1)
     Mp, Kp = xp.shape

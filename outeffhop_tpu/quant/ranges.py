@@ -258,7 +258,84 @@ class MSEEstimator(RangeEstimator):
                 fd = f(d)
         return (a + b) / 2.0
 
+    # vectorized-over-channels golden section: one f(thresholds (C,)) → (C,)
+    # evaluation per iteration, channels' brackets contract independently
+    # (the reference runs scipy golden per channel in a Python loop;
+    # range_estimators.py golden + per_channel — same math, TPU-shaped)
+    def _golden_minimize_vec(self, f, lo, hi, iters: int = 40):
+        gr = (np.sqrt(5.0) - 1.0) / 2.0
+        a = np.asarray(lo, np.float64)
+        b = np.asarray(hi, np.float64)
+        c = b - gr * (b - a)
+        d = a + gr * (b - a)
+        fc, fd = np.asarray(f(c)), np.asarray(f(d))
+        for _ in range(iters):
+            take = fc < fd  # per-channel: keep [a, d) vs (c, b]
+            a = np.where(take, a, c)
+            b = np.where(take, d, b)
+            new_c = b - gr * (b - a)
+            new_d = a + gr * (b - a)
+            eval_pts = np.where(take, new_c, new_d)
+            fnew = np.asarray(f(eval_pts))
+            fc, fd = (
+                np.where(take, fnew, fd),
+                np.where(take, fc, fnew),
+            )
+            c, d = np.where(take, new_c, d), np.where(take, c, new_d)
+        return (a + b) / 2.0
+
+    def _per_channel_mse(self, xs, neg, pos) -> np.ndarray:
+        """Σ_batches per-channel quant MSE for per-channel thresholds (C,)."""
+        qp = qparams_from_range(
+            jnp.asarray(neg, jnp.float32), jnp.asarray(pos, jnp.float32),
+            n_bits=self.n_bits, symmetric=self.symmetric,
+        )
+        total = None
+        for x in xs:
+            from outeffhop_tpu.quant.fake_quant import fake_quant, reshape_per_channel
+
+            y = fake_quant(x, reshape_per_channel(qp, x.ndim), per_channel=True)
+            se = np.asarray(jnp.sum(jnp.square(x - y).reshape(x.shape[0], -1), axis=1))
+            total = se if total is None else total + se
+        return total
+
+    def _finalize_golden_per_channel(self, search, xs):
+        C = xs[0].shape[0]
+        lo = np.full((C,), search["max_range"] / self.num_candidates)
+        hi = np.full((C,), search["max_range"])
+        if search["mode"] == "1d":
+            one_sided = search["one_sided"]
+
+            def f(t):
+                return self._per_channel_mse(xs, np.zeros_like(t) if one_sided else -t, t)
+
+            thr = self._golden_minimize_vec(f, lo, hi)
+            xmin = np.zeros_like(thr) if one_sided else -thr
+            return jnp.asarray(xmin, jnp.float32), jnp.asarray(thr, jnp.float32)
+        # 2d: per-channel range size, then per-channel skew
+        mn, mx = search["max_neg_thr"], search["max_pos_thr"]
+
+        def mse_for_size(size):
+            return self._per_channel_mse(
+                xs, np.maximum(-size, mn), np.minimum(size, mx)
+            )
+
+        half = self._golden_minimize_vec(mse_for_size, lo, hi)
+        skew = self._golden_minimize_vec(
+            lambda s: self._per_channel_mse(
+                xs, np.maximum(-half + s, mn), np.minimum(half + s, mx)
+            ),
+            -half / 2,
+            half / 2,
+        )
+        xmin = np.maximum(-half + skew, mn)
+        xmax = np.minimum(half + skew, mx)
+        return jnp.asarray(xmin, jnp.float32), jnp.asarray(xmax, jnp.float32)
+
     def _finalize_golden(self, search, xs):
+        if self.per_channel:
+            return self._finalize_golden_per_channel(search, xs)
+
         def total_mse(neg, pos):
             return float(sum(float(jnp.sum(self._quant_mse(x, neg, pos, False))) for x in xs))
 

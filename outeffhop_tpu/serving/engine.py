@@ -116,6 +116,12 @@ def make_int8_weight_ctx(params, cfg: OPTConfig):
     opt_forward(params, cfg, dummy, q=ctx.scoped(""))
     wq = compute_weight_qparams(ctx.discovered_weights, qcfg)
     int8_map = build_int8_dense_map(ctx.discovered_weights, wq)
+    # keep only sites executed through common.dense's int8_for dispatch;
+    # project_in/project_out/head.lm are matmul'd directly via ctx.weight, so
+    # their Int8Dense copies would just pin unused int8 weights in HBM
+    # (embeddings are already excluded by their per_channel_axis=None)
+    unused = {"project_in|w", "project_out|w", "head.lm|w"}
+    int8_map = {k: v for k, v in int8_map.items() if k not in unused}
     return ScopedQuantCtx(QuantCtx.run(qcfg, {}, {}, int8_dense=int8_map), "")
 
 
@@ -220,6 +226,10 @@ def _decode_body(cfg: OPTConfig, ecfg: EngineConfig, params, state: EngineState,
     tokens = jax.vmap(
         lambda row, tok, pos: jax.lax.dynamic_update_slice(row, tok[None], (pos,))
     )(state.tokens, nxt, state.lengths)
+    # inactive slots must be untouched: for a slot capped at max_seq the
+    # dynamic_update_slice above clamps its start index to max_seq-1 and
+    # would overwrite the slot's final generated token with pad
+    tokens = jnp.where(state.active[:, None], tokens, state.tokens)
     lengths = state.lengths + state.active.astype(jnp.int32)
     active = (
         state.active
@@ -292,8 +302,9 @@ class ServingEngine:
         self.state = init_state(cfg, ecfg, dtype)
         self._qctx = make_int8_weight_ctx(params, cfg) if int8_weights else None
         self._prefill = make_prefill(cfg, ecfg, self._qctx)
-        self._decode = make_decode_step(cfg, ecfg, self._qctx)
-        self._decode_n: Dict[int, Callable] = {}  # chunk size → compiled program
+        # all decoding (incl. chunk=1) dispatches through the (chunk, bucket)
+        # program cache below; make_decode_step stays available for direct use
+        self._decode_n: Dict[int, Callable] = {}  # (chunk, bucket) → program
         self._queue: List[_Request] = []
         self._slots: List[Optional[_Request]] = [None] * ecfg.max_slots
         self._done: Dict[int, np.ndarray] = {}

@@ -206,3 +206,13 @@ def test_int8_wired_dense_keeps_float_bias():
     ref = x @ p["weight"].T + p["bias"]
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     assert rel < 0.05, rel
+
+
+def test_pallas_default_blocks_ragged_shapes():
+    """Regression (ADVICE r1): default block sizes must round up to the int8
+    TPU tile granularity (32, 128) for ragged shapes like M=40, never tiles
+    of the raw ragged size."""
+    args = _int_args(M=40, K=80, N=56, seed=4)
+    got = w8a8_matmul_pallas(*args, interpret=True)  # default bm/bn/bk
+    ref = w8a8_matmul_xla(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)

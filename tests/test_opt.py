@@ -12,6 +12,7 @@ from outeffhop_tpu.models.opt import (
     OPTConfig,
     clm_loss,
     greedy_generate,
+    init_opt_params,
     opt_forward,
 )
 from outeffhop_tpu.quant import (
@@ -190,3 +191,23 @@ def test_alpha_mode_uses_clipped_softmax():
         np.asarray(cfg2.softmax_fn()(x, axis=-1)),
         np.asarray(clipped_softmax1(x, gamma=-12.0 / 64, eta=1.0)),
     )
+
+
+def test_flash_and_decode_fast_mutually_exclusive():
+    """Regression (ADVICE r1, medium): use_flash=True + decode_fast=True with
+    a KV cache must NOT take the flash path (which would ignore the cache) —
+    logits must match the plain cached-decode path exactly."""
+    cfg = OPTConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, ffn_dim=64, max_position_embeddings=128,
+        attn_softmax="softmax1", dropout=0.0,
+    )
+    params = init_opt_params(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 6), 3, 60)
+    _, past = opt_forward(params, cfg, ids[:, :5])
+    mask = jnp.ones((1, 6), jnp.int32)
+    ref, _ = opt_forward(params, cfg, ids[:, 5:], mask, past_key_values=past,
+                         decode_fast=True)
+    got, _ = opt_forward(params, cfg, ids[:, 5:], mask, past_key_values=past,
+                         decode_fast=True, use_flash=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)

@@ -181,3 +181,46 @@ def test_log_scale_domain_qparams():
             symmetric=False, scale_domain="log")) ** 2)
     )(jnp.log(jnp.asarray(0.01)))
     assert bool(jnp.isfinite(g)) and float(jnp.abs(g)) > 0
+
+
+def test_mse_golden_section_per_channel():
+    """Regression (ADVICE r1): per_channel + golden_section must return
+    per-channel (C,) thresholds tracking the per-channel grid search, not a
+    silent per-tensor collapse."""
+    import jax.numpy as jnp
+    import numpy as np
+    from outeffhop_tpu.quant.ranges import MSEEstimator
+
+    rs = np.random.RandomState(0)
+    # channels with very different scales force distinct optima
+    x = jnp.asarray(
+        np.stack([rs.normal(0, 0.1, 512), rs.normal(0, 1.0, 512), rs.normal(0, 5.0, 512)]),
+        jnp.float32,
+    )
+    gold = MSEEstimator(n_bits=8, symmetric=True, per_channel=True,
+                        opt_method="golden_section")
+    lo, hi = gold.finalize(gold.update(gold.init_state(), x))
+    assert lo.shape == (3,) and hi.shape == (3,)
+    grid = MSEEstimator(n_bits=8, symmetric=True, per_channel=True, opt_method="grid")
+    glo, ghi = grid.finalize(grid.update(grid.init_state(), x))
+    # channel optima must scale with the channel std and track the grid search
+    np.testing.assert_allclose(np.asarray(hi), np.asarray(ghi), rtol=0.15)
+    assert float(hi[0]) < float(hi[1]) < float(hi[2])
+
+
+def test_mse_golden_section_per_channel_asymmetric():
+    import jax.numpy as jnp
+    import numpy as np
+    from outeffhop_tpu.quant.ranges import MSEEstimator
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(
+        np.stack([rs.normal(2.0, 1.0, 512), rs.normal(-1.0, 0.5, 512)]), jnp.float32
+    )
+    est = MSEEstimator(n_bits=8, symmetric=False, per_channel=True,
+                       opt_method="golden_section")
+    lo, hi = est.finalize(est.update(est.init_state(), x))
+    assert lo.shape == (2,) and hi.shape == (2,)
+    # skew follows each channel's mass
+    assert abs(float(hi[0])) > abs(float(lo[0]))   # positive-mean channel
+    assert abs(float(lo[1])) > abs(float(hi[1]))   # negative-mean channel

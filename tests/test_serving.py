@@ -161,3 +161,23 @@ def test_engine_bucketed_decode_correct_across_boundary(opt):
     np.testing.assert_array_equal(res[rid], ref[: len(res[rid])])
     # multiple bucket programs were actually compiled
     assert len({k[1] for k in eng._decode_n}) >= 2
+
+
+def test_engine_chunked_decode_max_seq_cap_keeps_last_token(opt):
+    """Regression (ADVICE r1, high): a slot capped at max_seq must not have
+    its final generated token overwritten by pad during chunked decode —
+    the token write used to run unconditionally for inactive slots, clamping
+    the update index to max_seq-1."""
+    cfg, params = opt
+    ecfg = EngineConfig(max_slots=1, max_seq=12, max_prompt=8, eos_token_id=999)
+
+    ref_eng = ServingEngine(params, cfg, ecfg)
+    r_ref = ref_eng.submit(np.arange(3, 9), max_new_tokens=50)
+    ref = ref_eng.run(decode_chunk=1)[r_ref]
+
+    eng = ServingEngine(params, cfg, ecfg)
+    rid = eng.submit(np.arange(3, 9), max_new_tokens=50)
+    got = eng.run(decode_chunk=4)[rid]
+
+    np.testing.assert_array_equal(got, ref)
+    assert got[-1] != ecfg.pad_token_id
