@@ -292,6 +292,51 @@ def bert_mlm_forward(
     return logits
 
 
+def init_bert_pooler_params(key, cfg: BertConfig):
+    """dense(h→h)+tanh pooler over the [CLS] token (`QuantizedBertModel`
+    pooler, quantized_bert.py:684-703; HF BertPooler)."""
+    return common.dense_params(key, cfg.hidden_size, cfg.hidden_size)
+
+
+def bert_pooler(params, sequence_output: Array, q: ScopedQuantCtx = NULL_QCTX) -> Array:
+    """(B, T, H) → (B, H): first-token dense+tanh, tanh folded into the dense
+    quant site exactly like the hijacker folds activations
+    (quantized_bert.py:692-703; hijacker activations_set includes Tanh)."""
+    first = sequence_output[:, 0]
+    return common.dense(params, first, q.scoped("pooler"), "dense", activation=jnp.tanh)
+
+
+def bert_model_forward(
+    params,
+    cfg: BertConfig,
+    input_ids: Array,
+    attention_mask: Optional[Array] = None,
+    token_type_ids: Optional[Array] = None,
+    q: ScopedQuantCtx = NULL_QCTX,
+    tape: ScopedTape = NULL_TAPE,
+    dropout_rng=None,
+    deterministic: bool = True,
+    use_flash: bool = False,
+):
+    """BertModel surface: (sequence_output, pooled_output-or-None)
+    (`QuantizedBertModel.forward`, quantized_bert.py:706-812). The pooler runs
+    only when `params["pooler"]` is present (HF `add_pooling_layer`)."""
+    ext_mask = (
+        extended_attention_mask(attention_mask) if attention_mask is not None else None
+    )
+    rngs = jax.random.split(dropout_rng, 2) if dropout_rng is not None else [None, None]
+    x = bert_embeddings(
+        params["embeddings"], cfg, input_ids, token_type_ids,
+        q=q, tape=tape, dropout_rng=rngs[0], deterministic=deterministic,
+    )
+    x = bert_encoder(
+        params, cfg, x, ext_mask, q=q, tape=tape,
+        dropout_rng=rngs[1], deterministic=deterministic, use_flash=use_flash,
+    )
+    pooled = bert_pooler(params["pooler"], x, q) if params.get("pooler") else None
+    return x, pooled
+
+
 def mlm_loss(logits: Array, labels: Array, ignore_index: int = -100) -> Array:
     """Mean CE over non-ignored positions; exp(loss) is the reference's
     perplexity (`validate_mlm_config.py:542-548`)."""

@@ -62,7 +62,7 @@ class ViTConfig:
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     class_token: bool = True
-    global_pool: str = "token"  # token | avg | none
+    global_pool: str = "token"  # token | avg | map (AttentionPoolLatent) | none
     init_scale: Optional[float] = None  # LayerScale init (None = no LayerScale)
     layer_norm_eps: float = 1e-6
     dropout: float = 0.0
@@ -113,6 +113,9 @@ VIT_PRESETS = {
     "vit_small_patch16_224": dict(embed_dim=384, depth=12, num_heads=6),
     "vit_base_patch16_224": dict(embed_dim=768, depth=12, num_heads=12),
     "vit_large_patch16_224": dict(embed_dim=1024, depth=24, num_heads=16),
+    "vit_base_patch32_224": dict(embed_dim=768, depth=12, num_heads=12, patch_size=32),
+    "vit_base_patch16_384": dict(embed_dim=768, depth=12, num_heads=12, img_size=384),
+    "vit_huge_patch14_224": dict(embed_dim=1280, depth=32, num_heads=16, patch_size=14),
 }
 
 
@@ -163,6 +166,19 @@ def init_vit_params(key, cfg: ViTConfig):
             block["ls1"] = {"gamma": jnp.full((d,), cfg.init_scale)}
             block["ls2"] = {"gamma": jnp.full((d,), cfg.init_scale)}
         params["blocks"].append(block)
+    if cfg.global_pool == "map":
+        mk = jax.random.split(keys[-2], 5)
+        params["attn_pool"] = {
+            "latent": jax.random.normal(mk[0], (1, 1, d)) * 0.02,
+            "q": common.dense_params(mk[1], d, d),
+            "kv": common.dense_params(mk[2], d, 2 * d),
+            "proj": common.dense_params(mk[3], d, d),
+            "norm": common.ln_params(d),
+            "mlp": {
+                "fc1": common.dense_params(mk[4], d, cfg.mlp_hidden),
+                "fc2": common.dense_params(jax.random.fold_in(mk[4], 1), cfg.mlp_hidden, d),
+            },
+        }
     if cfg.num_classes > 0:
         params["head"] = common.dense_params(keys[-1], d, cfg.num_classes)
     return params
@@ -280,6 +296,40 @@ def vit_block(
     return x
 
 
+def attention_pool_latent(
+    params,
+    cfg: ViTConfig,
+    x: Array,
+    q: ScopedQuantCtx = NULL_QCTX,
+    tape: ScopedTape = NULL_TAPE,
+) -> Array:
+    """timm AttentionPoolLatent (latent_len=1): a learned latent query
+    attends over the tokens, then proj + residual MLP; pooled = the latent
+    (`QuantizedAttentionPoolLatent`, quantized_vit.py:278 — same quant sites
+    as the block attention: q/kv/proj dense, scores, probs, context)."""
+    b = x.shape[0]
+    n_heads = cfg.num_heads
+    latent = jnp.broadcast_to(params["latent"].astype(x.dtype), (b, 1, x.shape[-1]))
+    qs = split_heads(common.dense(params["q"], latent, q, "q"), n_heads)
+    kv = common.dense(params["kv"], x, q, "kv")
+    ks, vs = jnp.split(kv, 2, axis=-1)
+    ks, vs = split_heads(ks, n_heads), split_heads(vs, n_heads)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qs, ks) / math.sqrt(cfg.head_dim)
+    scores = tape.record("attn_scores", scores)
+    scores = q.act("attn_scores", scores)
+    probs = jax.nn.softmax(scores, axis=-1)  # the pool uses vanilla softmax
+    probs = q.act("attn_probs", probs)
+    ctx = merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, vs))
+    ctx = q.act("context", ctx)
+    y = common.dense(params["proj"], ctx, q, "proj")
+    f = common.quant_layer_norm(params["norm"], y, q, "norm", cfg.layer_norm_eps)
+    f = common.dense(params["mlp"]["fc1"], f, q, "mlp.fc1", activation=common.gelu)
+    f = common.dense(params["mlp"]["fc2"], f, q, "mlp.fc2")
+    y = y + f
+    y = q.act("res", y)
+    return y[:, 0]
+
+
 def vit_forward(
     params,
     cfg: ViTConfig,
@@ -321,6 +371,10 @@ def vit_forward(
     elif cfg.global_pool == "avg":
         start = 1 if cfg.class_token else 0
         pooled = jnp.mean(x[:, start:], axis=1)
+    elif cfg.global_pool == "map":
+        pooled = attention_pool_latent(
+            params["attn_pool"], cfg, x, q.scoped("attn_pool"), tape.scoped("attn_pool")
+        )
     else:
         return x
     if cfg.num_classes > 0:

@@ -123,6 +123,8 @@ def bert_params_from_state_dict(sd: Mapping[str, np.ndarray], cfg) -> dict:
                 },
             }
         )
+    if "bert.pooler.dense.weight" in sd:
+        params["pooler"] = _dense(sd, "bert.pooler.dense")
     # MLM head; decoder weight tied to word embeddings when absent
     dec_w = sd.get("cls.predictions.decoder.weight", sd[f"{e}.word_embeddings.weight"])
     dec_b = sd.get("cls.predictions.decoder.bias", sd.get("cls.predictions.bias"))

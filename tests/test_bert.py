@@ -256,3 +256,35 @@ def test_relative_position_attention_modes():
     assert not np.allclose(
         np.asarray(outs["relative_key"]), np.asarray(outs["relative_key_query"])
     )
+
+
+def test_bert_pooler_and_model_forward():
+    """bert_model_forward returns (sequence_output, pooled); the pooler is
+    dense+tanh on [CLS] (quantized_bert.py:684-703) with a foldable quant site."""
+    import jax, jax.numpy as jnp, numpy as np
+    from outeffhop_tpu.models.bert import (
+        BertConfig, bert_model_forward, init_bert_params, init_bert_pooler_params,
+    )
+    from outeffhop_tpu.quant import QuantizedModelConfig, QuantCtx, ScopedQuantCtx
+
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=64,
+                     hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    params = init_bert_params(jax.random.PRNGKey(0), cfg)
+    params["pooler"] = init_bert_pooler_params(jax.random.PRNGKey(1), cfg)
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 64, (2, 8)), jnp.int32)
+    seq, pooled = bert_model_forward(params, cfg, ids)
+    assert seq.shape == (2, 8, 32) and pooled.shape == (2, 32)
+    assert float(jnp.max(jnp.abs(pooled))) <= 1.0  # tanh range
+
+    # without pooler params → pooled is None
+    del params["pooler"]
+    _, pooled_none = bert_model_forward(params, cfg, ids)
+    assert pooled_none is None
+
+    # the pooler dense is a discoverable quant site
+    params["pooler"] = init_bert_pooler_params(jax.random.PRNGKey(1), cfg)
+    ctx = QuantCtx.discover(QuantizedModelConfig())
+    bert_model_forward(params, cfg, ids, q=ScopedQuantCtx(ctx, ""))
+    assert any("pooler" in n for n in ctx.discovered_weights)

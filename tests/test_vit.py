@@ -179,3 +179,49 @@ def test_global_pool_avg():
     params = init_vit_params(jax.random.PRNGKey(0), cfg)
     feats = vit_forward(params, cfg, _images())
     assert feats.shape == (2, 32)
+
+
+def test_attention_pool_latent_map_pooling():
+    """global_pool='map' runs AttentionPoolLatent (quantized_vit.py:278):
+    FP shape + quantized execution both work."""
+    import jax, jax.numpy as jnp, numpy as np
+    from outeffhop_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
+    from outeffhop_tpu.quant import (
+        QuantizedModelConfig, QuantCtx, ScopedQuantCtx,
+        compute_weight_qparams, freeze_act_qparams, run_calibration,
+    )
+
+    cfg = ViTConfig(img_size=16, patch_size=4, num_classes=10, embed_dim=32,
+                    depth=1, num_heads=2, global_pool="map", class_token=False,
+                    attn_softmax="softmax1")
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3), jnp.float32)
+    logits = vit_forward(params, cfg, imgs)
+    assert logits.shape == (2, 10)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+    qcfg = QuantizedModelConfig(est_num_batches=1)
+    ctx = QuantCtx.discover(qcfg)
+    vit_forward(params, cfg, imgs, q=ScopedQuantCtx(ctx, ""))
+    assert any("attn_pool" in n for n in ctx.discovered_acts)
+    wq = compute_weight_qparams(ctx.discovered_weights, qcfg)
+    est = run_calibration(
+        lambda b, q: vit_forward(params, cfg, b, q=q), qcfg, wq, [imgs]
+    )
+    aq = freeze_act_qparams(est, qcfg)
+    ql = vit_forward(params, cfg, imgs,
+                     q=ScopedQuantCtx(QuantCtx.run(qcfg, wq, aq), ""))
+    assert ql.shape == (2, 10)
+    rel = float(jnp.linalg.norm(ql - logits) / jnp.linalg.norm(logits))
+    assert rel < 0.2
+
+
+def test_vit_presets_extended():
+    from outeffhop_tpu.models.vit import vit_config
+
+    c = vit_config("vit_base_patch32_224")
+    assert c.patch_size == 32 and c.num_patches == 49
+    c = vit_config("vit_base_patch16_384")
+    assert c.img_size == 384 and c.num_patches == 576
+    c = vit_config("vit_huge_patch14_224")
+    assert c.embed_dim == 1280 and c.depth == 32
