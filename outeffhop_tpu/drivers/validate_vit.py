@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_classes", type=int, default=10)
     p.add_argument("--image_dir", type=str, default=None,
                    help="dir of {images,labels}.npy; synthetic if absent")
+    p.add_argument("--weights_fp8", action="store_true",
+                   help="also evaluate with float8(e4m3) weights — the "
+                        "capability of the reference's quanto-qfloat8 "
+                        "validate_vit.py variant (quant/fp8.py)")
     return p
 
 
@@ -112,16 +116,16 @@ def main(argv=None):
         args.use_flash if args.use_flash is not None else jax.default_backend() == "tpu"
     )
 
-    def fwd(images, qctx):
+    def fwd(images, qctx, p=params):
         return vit_forward(
-            params, cfg, jnp.asarray(images), q=qctx, deterministic=True,
+            p, cfg, jnp.asarray(images), q=qctx, deterministic=True,
             use_flash=use_flash and not qctx.enabled,
         )
 
-    def evaluate(qctx):
+    def evaluate(qctx, p=params):
         top1s, top5s = [], []
         for images, labels in load_images(args, cfg, n_batches=16, seed=1234):
-            logits = fwd(images, qctx)
+            logits = fwd(images, qctx, p)
             lab = jnp.asarray(labels)
             top1s.append(float(accuracy_topk(logits, lab, k=1)))
             top5s.append(float(accuracy_topk(logits, lab, k=min(5, cfg.num_classes))))
@@ -138,6 +142,14 @@ def main(argv=None):
         qctx = build_quant_ctx(lambda b, q: fwd(b, q), config, calib)
         results["int8_top1"], results["int8_top5"] = evaluate(qctx)
         results["delta_top1"] = results["int8_top1"] - results["top1"]
+
+    if args.weights_fp8:
+        from outeffhop_tpu.quant.fp8 import fp8_cast_params
+
+        results["fp8_top1"], results["fp8_top5"] = evaluate(
+            NULL_QCTX, fp8_cast_params(params)
+        )
+        results["fp8_delta_top1"] = results["fp8_top1"] - results["top1"]
 
     write_results(args.output_dir, results)
     return results

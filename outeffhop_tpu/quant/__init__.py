@@ -24,6 +24,12 @@ from outeffhop_tpu.quant.calibrate import (
     freeze_act_qparams,
     run_calibration,
 )
+from outeffhop_tpu.quant.fp8 import (
+    fp8_quantize,
+    fp8_dequantize,
+    fp8_round_trip,
+    fp8_cast_params,
+)
 from outeffhop_tpu.quant.int8_exec import (
     Int8Dense,
     quantize_dense,

@@ -43,10 +43,13 @@ def test_validate_vit_int8(tmp_path):
     res = main([
         "--quantize", "--est_num_batches", "2", "--per_device_eval_batch_size", "8",
         "--attn_softmax", "softmax1", "--num_hidden_layers", "2",
-        "--output_dir", str(tmp_path),
+        "--weights_fp8", "--output_dir", str(tmp_path),
     ])
     assert 0.0 <= res["top1"] <= 100.0
     assert "int8_top1" in res
+    # fp8(e4m3) weight round-trip (the quanto-qfloat8 capability) must not
+    # collapse accuracy — e4m3 has more precision than int8 per-channel here
+    assert abs(res["fp8_delta_top1"]) <= max(5.0, abs(res["delta_top1"]) + 5.0)
 
 
 def test_run_mlm_train_ckpt_resume(tmp_path):

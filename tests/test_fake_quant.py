@@ -235,3 +235,50 @@ def test_grad_scaling_rescales_range_gradients():
     g_scaled = jax.grad(loss)(jnp.asarray(0.01), True)
     expect = float(g_plain) * (127 * 64) ** -0.5
     assert abs(float(g_scaled) - expect) < abs(expect) * 1e-4 + 1e-8
+
+
+def test_fp8_round_trip_error_bounds():
+    """e4m3 has a 3-bit mantissa: scaled round-trip relative error per element
+    is bounded by ~2^-4 of the channel absmax; exact zeros/absmax preserved."""
+    import jax.numpy as jnp
+    import numpy as np
+    from outeffhop_tpu.quant.fp8 import fp8_quantize, fp8_round_trip
+
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(16, 32).astype(np.float32))
+    w = w.at[0, 0].set(0.0)
+    out = fp8_round_trip(w, per_channel_axis=0)
+    assert out.shape == w.shape and out.dtype == w.dtype
+    err = np.abs(np.asarray(out) - np.asarray(w))
+    absmax = np.abs(np.asarray(w)).max(axis=1, keepdims=True)
+    assert float(out[0, 0]) == 0.0
+    # worst-case e4m3 quantization step near absmax is absmax/2^3 * 0.5
+    assert np.all(err <= absmax / 8.0 + 1e-6)
+    # channel absmax element is exactly representable (maps to E4M3_MAX)
+    vals, scale = fp8_quantize(w, per_channel_axis=0)
+    assert vals.dtype == jnp.float8_e4m3fn
+    i = int(np.abs(np.asarray(w)[3]).argmax())
+    rt = float(vals[3, i].astype(jnp.float32) * scale[3, 0])
+    assert abs(rt - float(w[3, i])) < 1e-6
+
+
+def test_fp8_cast_params_skips_small_leaves():
+    import jax.numpy as jnp
+    import numpy as np
+    from outeffhop_tpu.quant.fp8 import fp8_cast_params
+
+    rs = np.random.RandomState(1)
+    params = {
+        "dense": {"weight": jnp.asarray(rs.randn(8, 4), jnp.float32),
+                  "bias": jnp.asarray(rs.randn(8), jnp.float32)},
+        "ln": {"weight": jnp.ones((4,)), "bias": jnp.zeros((4,))},
+        "maybe": None,
+        "ids": jnp.arange(4, dtype=jnp.int32),
+    }
+    out = fp8_cast_params(params)
+    assert np.array_equal(out["dense"]["bias"], params["dense"]["bias"])
+    assert np.array_equal(out["ln"]["weight"], params["ln"]["weight"])
+    assert out["maybe"] is None
+    assert np.array_equal(out["ids"], params["ids"])
+    assert not np.array_equal(out["dense"]["weight"], params["dense"]["weight"])
+    assert np.allclose(out["dense"]["weight"], params["dense"]["weight"], atol=0.2)
