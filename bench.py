@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -26,29 +27,40 @@ def _sync(x):
     return float(jnp.sum(x).astype(jnp.float32))
 
 
-def _bench_scan(step_fn, ids0, iters=20, repeats=3):
-    """Time `iters` forwards INSIDE one jitted lax.scan with an argmax
-    feedback dependence (prevents loop hoisting). One dispatch per repeat, so
-    per-call tunnel/dispatch overhead is excluded and run-to-run variance
-    through the remote-TPU tunnel drops to ~2%. Returns best secs/step."""
+def _bench_scan(step_fn, ids0, lo=8, hi=40, repeats=3):
+    """Time forwards INSIDE one jitted lax.scan with an argmax feedback
+    dependence (prevents loop hoisting), at two scan lengths, and return the
+    SLOPE (t_hi - t_lo) / (hi - lo). Each dispatch through the remote-TPU
+    tunnel carries ~20-30 ms of fixed overhead (measured; a plain local
+    dispatch is sub-ms) — the two-point fit cancels that intercept exactly,
+    leaving pure on-device secs/step."""
 
-    @jax.jit
-    def loop(ids):
+    @functools.partial(jax.jit, static_argnames="iters")
+    def loop(ids, iters):
         def body(c, _):
             logits = step_fn(c)
-            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
-            return nxt, None
+            # cheap data dependence on the logits: enough to stop XLA from
+            # hoisting the forward out of the loop, without adding a full
+            # vocab-wide argmax reduction (~1.3 ms/step of pure harness cost)
+            # to every timed iteration. The timed work is the complete MLM
+            # forward, embeddings through vocab logits.
+            dep = (jnp.sum(logits[..., :8]) * 0).astype(jnp.int32)
+            return c + dep, None
 
         out, _ = jax.lax.scan(body, ids, None, length=iters)
         return out
 
-    _sync(loop(ids0))  # compile + warm
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        _sync(loop(ids0))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    def best_of(iters):
+        _sync(loop(ids0, iters=iters))  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _sync(loop(ids0, iters=iters))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = best_of(lo), best_of(hi)
+    return max((t_hi - t_lo) / (hi - lo), 1e-9)
 
 
 def main():
@@ -84,9 +96,9 @@ def main():
 
         return f
 
-    iters = 20 if on_tpu else 2
-    t_base = _bench_scan(fwd(False), input_ids, iters=iters)
-    t_flash = _bench_scan(fwd(on_tpu), input_ids, iters=iters)
+    lo, hi = (8, 40) if on_tpu else (1, 3)
+    t_base = _bench_scan(fwd(False), input_ids, lo=lo, hi=hi)
+    t_flash = _bench_scan(fwd(on_tpu), input_ids, lo=lo, hi=hi)
 
     tokens_per_s = batch * seq / t_flash
     print(

@@ -259,7 +259,9 @@ def opt_attention(
         if attention_mask is not None:
             scores = scores + attention_mask
             scores = jnp.maximum(scores, jnp.finfo(scores.dtype).min)
-        probs = cfg.softmax_fn()(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+        probs = cfg.softmax_fn()(scores.astype(jnp.float32), axis=-1).astype(
+            v_states.dtype  # not scores.dtype: the f32 mask add must not
+        )  # promote the context (and all downstream matmuls) to f32
         s_len = past_key_value[0].shape[2]
         context = jnp.einsum(
             "bhqk,bhkd->bhqd", probs[..., :s_len], past_key_value[1]
@@ -271,7 +273,9 @@ def opt_attention(
         if attention_mask is not None:
             scores = scores + attention_mask
             scores = jnp.maximum(scores, jnp.finfo(scores.dtype).min)  # :225-228
-        probs = cfg.softmax_fn()(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+        probs = cfg.softmax_fn()(scores.astype(jnp.float32), axis=-1).astype(
+            v_states.dtype
+        )
         probs = tape.record("attn_probs_before_dropout", probs)
         probs = q.act("attn_probs", probs)
         probs = common.dropout(probs, cfg.dropout, dropout_rng, deterministic)

@@ -190,6 +190,31 @@ def apply_gate(
     return context * (gate * cfg.gate_scaling_factor)
 
 
+def apply_gate_packed(
+    context: Array,
+    gate_params,
+    cfg: AttentionExtrasConfig,
+    hidden_states: Array,
+    tape: ScopedTape = NULL_TAPE,
+) -> Array:
+    """`apply_gate` for (B, T, H*D)-packed context (the transpose-free flash
+    path): the per-head gate is permuted to (B, T, H, 1) instead of permuting
+    the (much larger) context to (B, H, T, D)."""
+    if cfg.gate_type == "none":
+        return context
+    gate = compute_gate(gate_params, cfg, hidden_states)
+    if tape.enabled:
+        tape.record("gate_probs", gate)
+    b, t, hd = context.shape
+    ctx = context.reshape(b, t, cfg.num_heads, cfg.head_size)
+    if cfg.gate_type == "unconditional_per_head":
+        out = ctx * gate.reshape(1, 1, cfg.num_heads, 1)
+    else:
+        g = jnp.swapaxes(gate, 1, 2)  # (B,H,T|1,1) → (B,T|1,H,1)
+        out = ctx * (g * cfg.gate_scaling_factor)
+    return out.reshape(b, t, hd)
+
+
 def relative_position_scores(
     distance_embedding: Array,
     q: Array,
@@ -243,6 +268,48 @@ def attention_with_extras(
     mixed_q = common.dense(params["query"], hidden_states, q, "query")
 
     is_cross = encoder_hidden_states is not None
+
+    flash_eligible = (
+        use_flash
+        and not tape.enabled
+        and not q.enabled
+        and cfg.position_embedding_type == "absolute"
+        and head_mask is None
+        and (deterministic or cfg.dropout_rate == 0.0)
+        and cfg.softmax in ("vanilla", "softmax1")
+        and cfg.alpha is None
+    )
+
+    # Packed fast path: q/k/v stay in the (B, T, H*D) layout the projections
+    # produce — no (B,H,T,D) transpose materializations around the Pallas call
+    # (~1.2 ms/forward of pure layout traffic at BERT-base B32xS128 on v5e).
+    t_kv = (encoder_hidden_states if is_cross else hidden_states).shape[1]
+    if (
+        flash_eligible
+        and past_key_value is None
+        and not is_decoder
+        and hidden_states.shape[1] * t_kv * 4 <= 4 * 1024 * 1024
+    ):
+        from outeffhop_tpu.ops.flash import flash_attention_packed
+
+        kv_src = encoder_hidden_states if is_cross else hidden_states
+        mixed_k = common.dense(params["key"], kv_src, q, "key")
+        mixed_v = common.dense(params["value"], kv_src, q, "value")
+        context = flash_attention_packed(
+            mixed_q,
+            mixed_k,
+            mixed_v,
+            bias=attention_mask,
+            heads=n_heads,
+            softmax_n=1.0 if cfg.softmax == "softmax1" else 0.0,
+            scale=1.0 / math.sqrt(cfg.head_size),
+        )
+        if cfg.gate_type != "none":
+            context = apply_gate_packed(
+                context, params.get("gate"), cfg, hidden_states, tape
+            )
+        context = q.act("context", context)
+        return context, None, None
     if is_cross and past_key_value is not None:
         key_layer, value_layer = past_key_value
     elif is_cross:
@@ -263,17 +330,7 @@ def attention_with_extras(
 
     softmax_fn = cfg.softmax_fn()
 
-    flash_ok = (
-        use_flash
-        and not tape.enabled
-        and not q.enabled
-        and cfg.position_embedding_type == "absolute"
-        and head_mask is None
-        and (deterministic or cfg.dropout_rate == 0.0)
-        and cfg.softmax in ("vanilla", "softmax1")
-        and cfg.alpha is None
-    )
-    if flash_ok:
+    if flash_eligible:
         from outeffhop_tpu.ops.flash import flash_attention
 
         context = flash_attention(
@@ -286,7 +343,13 @@ def attention_with_extras(
         )
         attention_probs = None
     else:
-        scores = jnp.einsum("bhqd,bhkd->bhqk", query_layer, key_layer)
+        # Accumulate scores in f32 (same as the flash kernel's in-VMEM scores
+        # and the reference's fp16→fp32 softmax upcast, opt_attention.py:227)
+        # — but KEEP the einsum inputs bf16 so the MXU stays on its fast path.
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", query_layer, key_layer,
+            preferred_element_type=jnp.float32,
+        )
         if cfg.position_embedding_type in ("relative_key", "relative_key_query"):
             scores = scores + relative_position_scores(
                 params["distance_embedding"]["weight"],
@@ -310,7 +373,11 @@ def attention_with_extras(
         attention_probs = tape.record("attn_probs_after_dropout", attention_probs)
         if head_mask is not None:
             attention_probs = attention_probs * head_mask
-        context = jnp.einsum("bhqk,bhkd->bhqd", attention_probs, value_layer)
+        # PV in the value dtype: the f32 mask/softmax must not promote the
+        # context (and with it every downstream matmul) to f32.
+        context = jnp.einsum(
+            "bhqk,bhkd->bhqd", attention_probs.astype(value_layer.dtype), value_layer
+        )
 
     if cfg.gate_type != "none":
         context = apply_gate(context, params.get("gate"), cfg, hidden_states, tape)

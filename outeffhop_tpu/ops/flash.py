@@ -79,8 +79,14 @@ def _flash_kernel_onepass(
         causal_offset=causal_offset,
     )
     m = jnp.max(s, axis=-1, keepdims=True)
+    if softmax_n:
+        # phantom zero-logit participates in the max-shift: keeps exp(-m)
+        # finite on heavily-masked rows (exact — see softmax_variants.softmax_n)
+        m = jnp.maximum(m, 0.0)
     p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True) + softmax_n * jnp.exp(-m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    if softmax_n:
+        denom = denom + softmax_n * jnp.exp(-m)
     p = p / denom
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -112,7 +118,11 @@ def _flash_kernel(
 
     @pl.when(ik == 0)
     def _init():
-        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        # softmax_n: the phantom zero-logit is "seen first", so the running
+        # max starts at 0 — m never goes below 0 and the final n*exp(-m)
+        # cannot overflow on heavily-masked rows (exact: the online rescale
+        # exp(m_old - m_new) tracks the phantom term like any other logit)
+        m_scratch[:] = jnp.full_like(m_scratch, 0.0 if softmax_n else NEG_INF)
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
@@ -148,7 +158,11 @@ def _flash_kernel(
         m_fin = m_scratch[:, :1]
         l_fin = l_scratch[:, :1]
         # softmax_n: the phantom n zero-logits, shifted by the running max
-        denom = l_fin + softmax_n * jnp.exp(-m_fin)
+        # (m_fin >= 0 by construction when softmax_n > 0 — see _init)
+        if softmax_n:
+            denom = l_fin + softmax_n * jnp.exp(-m_fin)
+        else:
+            denom = l_fin
         o_ref[0] = (acc_scratch[:] / denom).astype(o_ref.dtype)
 
 
@@ -184,8 +198,12 @@ def _batched_onepass_kernel(
         k_pos = jax.lax.broadcasted_iota(jnp.int32, (1, t_q, t_k), 2)
         s = jnp.where(q_pos + causal_offset >= k_pos, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
+    if softmax_n:
+        m = jnp.maximum(m, 0.0)  # see softmax_variants.softmax_n
     p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True) + softmax_n * jnp.exp(-m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    if softmax_n:
+        denom = denom + softmax_n * jnp.exp(-m)
     p = p / denom
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[...], (((2,), (1,)), ((0,), (0,))),
@@ -255,6 +273,131 @@ def _flash_attention_short(
 
 def _batched_onepass_kernel_nobias(q_ref, k_ref, v_ref, o_ref, **kw):
     _batched_onepass_kernel(q_ref, k_ref, v_ref, None, o_ref, **kw)
+
+
+# --------------------------------------------------------------------------
+# Packed-layout kernel: q/k/v in (B, T, H*D) — the layout the QKV projections
+# naturally produce. The (B,H,T,D) layout the classic kernel wants forces XLA
+# to MATERIALIZE four transposed copies per attention (q,k,v in, o out):
+# ~1.2 ms/forward of pure layout traffic at BERT-base B32xS128 (measured on
+# v5e; XLA fuses the same transposes into its unfused einsums for free).
+# Here heads never leave the lane dimension: each head is a static 64-wide
+# lane slice, unrolled inside the kernel, so the model goes projection →
+# kernel → output-projection with zero physical transposes.
+# --------------------------------------------------------------------------
+
+
+def flash_attention_packed(
+    q: Array,
+    k: Array,
+    v: Array,
+    bias: Optional[Array] = None,
+    *,
+    heads: int,
+    softmax_n: float = 0.0,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    interpret: bool = False,
+) -> Array:
+    """Fused softmax_n attention over (B, T, H*D)-packed q/k/v.
+
+    Same numerics as :func:`flash_attention`, but operands stay in the layout
+    the QKV projections produce and the context returns in the layout the
+    output projection consumes — no (B,H,T,D) transposes anywhere. The grid
+    runs over (batch-block, head) and each head's 64-lane slice is delivered
+    straight out of the packed array by the BlockSpec index map, so the
+    "transpose" happens inside the block DMA instead of as materialized XLA
+    copies. The kernel body is the same full-batch batched-dot one-pass as
+    `_batched_onepass_kernel`. Requires the whole (T_q, T_k) score tile to
+    fit VMEM (true at all the reference's sequence lengths); longer sequences
+    should go through :func:`flash_attention`.
+
+    Args:
+      q: (B, T_q, H*D); k, v: (B, T_k, H*D); bias: (B or 1, 1, 1, T_k).
+    """
+    b, t_q, hd = q.shape
+    t_k = k.shape[1]
+    d = hd // heads
+    assert heads * d == hd
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if t_q * t_k * 4 > 4 * 1024 * 1024:
+        raise ValueError(
+            f"flash_attention_packed is the short-sequence path; "
+            f"(T_q={t_q}, T_k={t_k}) score tile exceeds the VMEM budget — "
+            "use flash_attention instead"
+        )
+
+    # pad T to sublane multiples; padded K rows are masked via the bias
+    t_q_pad = _ceil_to(t_q, 8)
+    t_k_pad = _ceil_to(t_k, 8)
+    if t_q_pad != t_q:
+        q = jnp.pad(q, ((0, 0), (0, t_q_pad - t_q), (0, 0)))
+    if t_k_pad != t_k:
+        k = jnp.pad(k, ((0, 0), (0, t_k_pad - t_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, t_k_pad - t_k), (0, 0)))
+        pad = jnp.full((1, 1, t_k_pad - t_k), NEG_INF, jnp.float32)
+        if bias is None:
+            bias = jnp.concatenate(
+                [jnp.zeros((1, 1, t_k), jnp.float32), pad], axis=-1
+            )
+        else:
+            bias = jnp.concatenate(
+                [
+                    jnp.maximum(bias.reshape(-1, 1, t_k).astype(jnp.float32), NEG_INF),
+                    jnp.broadcast_to(pad, (bias.shape[0], 1, t_k_pad - t_k)),
+                ],
+                axis=-1,
+            )
+    elif bias is not None:
+        bias = jnp.maximum(bias.reshape(-1, 1, t_k).astype(jnp.float32), NEG_INF)
+
+    # batch-block size: one head-slice of q/k/v/o per program plus the f32
+    # score tile, inside the 4-6MB VMEM sweet spot (see _flash_attention_short)
+    per_b = (2 * t_q_pad + 2 * t_k_pad) * d * q.dtype.itemsize + t_q_pad * t_k_pad * 4
+    block_b = max(1, min(b, (5 * 1024 * 1024) // per_b))
+    while b % block_b:
+        block_b -= 1
+    grid = (b // block_b, heads)
+
+    in_specs = [
+        pl.BlockSpec((block_b, t_q_pad, d), lambda i, h: (i, 0, h)),
+        pl.BlockSpec((block_b, t_k_pad, d), lambda i, h: (i, 0, h)),
+        pl.BlockSpec((block_b, t_k_pad, d), lambda i, h: (i, 0, h)),
+    ]
+    args = [q, k, v]
+    if bias is not None:
+        if bias.shape[0] == 1:
+            bias = jnp.broadcast_to(bias, (b, 1, t_k_pad))
+        in_specs.append(pl.BlockSpec((block_b, 1, t_k_pad), lambda i, h: (i, 0, 0)))
+        args.append(bias)
+
+    kernel = functools.partial(
+        _batched_onepass_kernel if bias is not None else _batched_onepass_kernel_nobias,
+        scale=scale,
+        softmax_n=softmax_n,
+        causal=causal,
+        causal_offset=t_k - t_q,
+        t_q=t_q_pad,
+        t_k=t_k_pad,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_b, t_q_pad, d), lambda i, h: (i, 0, h)),
+        out_shape=jax.ShapeDtypeStruct((b, t_q_pad, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * t_q_pad * t_k_pad * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=b * heads * t_q_pad * t_k_pad,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:, :t_q]
 
 
 def _ceil_to(x: int, m: int) -> int:

@@ -30,9 +30,18 @@ def softmax_n(x: Array, n: float, axis: int = -1) -> Array:
     matching `vutils/softmax_1.py:4-21` semantics exactly.
     """
     m = jnp.max(x, axis=axis, keepdims=True)
+    if n:
+        # The phantom n zero-logits participate in the max-shift: m >= 0 keeps
+        # exp(-m) <= 1, so heavily-masked rows (max logit < -88, where
+        # exp(-m) overflows f32 to inf) stay finite. Mathematically exact —
+        # softmax_n is invariant to WHICH shift is used as long as the phantom
+        # term is shifted identically (`vutils/softmax_1.py:8` semantics).
+        m = jnp.maximum(m, jnp.zeros_like(m))
     shifted = x - m
     numerator = jnp.exp(shifted)
-    denom = jnp.sum(numerator, axis=axis, keepdims=True) + n * jnp.exp(-m)
+    denom = jnp.sum(numerator, axis=axis, keepdims=True)
+    if n:
+        denom = denom + n * jnp.exp(-m)
     return numerator / denom
 
 

@@ -125,3 +125,93 @@ def test_bert_forward_with_flash_matches_xla_path():
     with pltpu.force_tpu_interpret_mode():
         b = np.asarray(bert_mlm_forward(params, cfg, ids, mask, use_flash=True))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout kernel (flash_attention_packed): (B, T, H*D), no transposes
+# ---------------------------------------------------------------------------
+
+
+def _pack(x):  # (B,H,T,D) → (B,T,H*D)
+    b, h, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+@pytest.mark.parametrize("causal,with_bias,n", [
+    (False, True, 1.0), (True, False, 1.0), (False, False, 0.0), (True, True, 0.0),
+])
+def test_packed_matches_reference(causal, with_bias, n):
+    from outeffhop_tpu.ops.flash import flash_attention_packed
+
+    rng = np.random.default_rng(10)
+    q, k, v = make_qkv(rng, b=3, h=4, t_q=50, t_k=50, d=16)
+    bias = None
+    if with_bias:
+        m = (rng.random((3, 50)) > 0.2).astype(np.float32)
+        m[:, 0] = 1.0  # keep the causal diagonal's first key attendable
+        bias = jnp.asarray((1 - m)[:, None, None, :] * -1e9, jnp.float32)
+    got = flash_attention_packed(
+        _pack(q), _pack(k), _pack(v), bias, heads=4, softmax_n=n, causal=causal,
+        interpret=True,
+    )
+    want = _pack(attention_reference(q, k, v, bias, softmax_n=n, causal=causal))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_packed_rejects_long_sequences():
+    from outeffhop_tpu.ops.flash import flash_attention_packed
+
+    q = jnp.zeros((1, 2048, 64))
+    with pytest.raises(ValueError, match="short-sequence"):
+        flash_attention_packed(q, q, q, heads=4, interpret=True)
+
+
+def test_bert_packed_flash_path_matches_xla(monkeypatch):
+    """The in-model packed path (attention_with_extras dispatches to it for
+    encoder self-attention) must match the unfused XLA path, including gating."""
+    from tests.test_bert import TINY, make_batch
+    from outeffhop_tpu.models.bert import bert_mlm_forward, init_bert_params
+    from jax.experimental.pallas import tpu as pltpu
+    import dataclasses
+
+    for gate in ("none", "unconditional_per_head", "conditional_per_token"):
+        cfg = dataclasses.replace(
+            TINY, attn_softmax="softmax1", attn_gate_type=gate,
+            attn_gate_init=0.25 if gate != "none" else None,
+        )
+        params = init_bert_params(jax.random.PRNGKey(0), cfg)
+        ids, mask = make_batch(np.random.default_rng(11), cfg)
+        a = np.asarray(bert_mlm_forward(params, cfg, ids, mask, use_flash=False))
+        with pltpu.force_tpu_interpret_mode():
+            b = np.asarray(bert_mlm_forward(params, cfg, ids, mask, use_flash=True))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4, err_msg=gate)
+
+
+@pytest.mark.parametrize("n", [0.0, 1.0])
+def test_softmax_n_heavily_masked_rows_finite(n):
+    """Rows whose max logit is very negative (all keys masked) must not
+    overflow exp(-m) to inf (NaN via 0*inf for n=0): the phantom zero logit
+    participates in the max shift."""
+    from outeffhop_tpu.ops.softmax_variants import softmax_n
+
+    x = jnp.full((2, 8), -200.0)
+    p = np.asarray(softmax_n(x, n, axis=-1))
+    assert np.all(np.isfinite(p))
+    if n == 0.0:
+        np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-6)
+    else:
+        assert np.all(p <= 1e-30)  # softmax1: everything goes to the phantom key
+
+
+@pytest.mark.parametrize("n", [0.0, 1.0])
+def test_flash_heavily_masked_rows_finite(n):
+    from outeffhop_tpu.ops.flash import flash_attention_packed
+
+    rng = np.random.default_rng(12)
+    q, k, v = make_qkv(rng, b=1, h=2, t_q=16, t_k=16, d=8)
+    bias = jnp.full((1, 1, 1, 16), -1e9, jnp.float32)  # every key masked
+    got = np.asarray(flash(q, k, v, bias, softmax_n=n, block_q=8, block_k=8))
+    assert np.all(np.isfinite(got))
+    got_p = np.asarray(flash_attention_packed(
+        _pack(q), _pack(k), _pack(v), bias, heads=2, softmax_n=n, interpret=True))
+    assert np.all(np.isfinite(got_p))
