@@ -43,8 +43,10 @@ def _bench_scan(step_fn, ids0, lo=8, hi=40, repeats=3):
             # hoisting the forward out of the loop, without adding a full
             # vocab-wide argmax reduction (~1.3 ms/step of pure harness cost)
             # to every timed iteration. The timed work is the complete MLM
-            # forward, embeddings through vocab logits.
-            dep = (jnp.sum(logits[..., :8]) * 0).astype(jnp.int32)
+            # forward, embeddings through vocab logits. A value comparison
+            # (always-false at runtime, unprovable at compile time) cannot be
+            # algebraically folded away, unlike the previous `sum * 0`.
+            dep = (jnp.max(jnp.abs(logits[..., :8])) > 1e30).astype(jnp.int32)
             return c + dep, None
 
         out, _ = jax.lax.scan(body, ids, None, length=iters)

@@ -64,6 +64,21 @@ def add_quant_args(p: argparse.ArgumentParser):
     g.add_argument("--execute_int8", action="store_true",
                    help="run dense matmuls as real int8 MXU ops (deployment "
                         "path) in addition to the fake-quant simulation")
+    g.add_argument("--save_quantized_dir", type=str, default=None,
+                   help="save the calibrated quantization state (weight/act "
+                        "qparams + int8 weights if --execute_int8) for "
+                        "recalibration-free reload (validate_clm.py:501-512)")
+    g.add_argument("--load_quantized_dir", type=str, default=None,
+                   help="load a saved quantized checkpoint and eval WITHOUT "
+                        "recalibration (base_quantized_model.py:34-82 "
+                        "load_state_dict equivalent)")
+    g.add_argument("--learn_ranges", action="store_true",
+                   help="learned-ranges QAT: after calibration, train with "
+                        "quantizer scales/zero-points as parameters "
+                        "(quantization_manager.py:80-87, qstates learn_ranges)")
+    g.add_argument("--no_range_grad_scaling", action="store_true",
+                   help="disable LSQ 1/sqrt(Qp*N) gradient scaling on learned "
+                        "ranges (uniform_quantizers.py:150-157)")
 
 
 def add_training_args(p: argparse.ArgumentParser):
@@ -90,6 +105,9 @@ def add_training_args(p: argparse.ArgumentParser):
     g.add_argument("--report_to", type=str, default="jsonl",
                    help="comma list: jsonl,tensorboard,wandb,all")
     g.add_argument("--run_name", type=str, default=None)
+    g.add_argument("--tb_hist_log_interval", type=int, default=0,
+                   help="log weight histograms + per-layer inf-norms every N "
+                        "steps (0 = off; run_mlm_ddp.py:617-641)")
 
 
 def add_data_args(p: argparse.ArgumentParser):
@@ -103,6 +121,12 @@ def add_data_args(p: argparse.ArgumentParser):
     g.add_argument("--train_percentage", type=int, default=None)
     g.add_argument("--validation_percentage", type=int, default=None)
     g.add_argument("--synthetic_tokens", type=int, default=200_000)
+    g.add_argument("--tokenizer_name", type=str, default=None,
+                   help="HF tokenizer for real-corpus ingestion "
+                        "(data/corpus.py; run_mlm.py:345-351)")
+    g.add_argument("--mask_token_id", type=int, default=None,
+                   help="[MASK] id for real corpora (default: 103, BERT)")
+    g.add_argument("--overwrite_cache", action="store_true")
 
 
 def add_tpu_args(p: argparse.ArgumentParser):

@@ -62,8 +62,33 @@ def main(argv=None):
     steps_per_epoch = max(len(train_batches) // args.gradient_accumulation_steps, 1)
     total_steps = args.max_train_steps or steps_per_epoch * args.num_train_epochs
 
+    # learned-ranges QAT (`--quantize --learn_ranges`): calibrate once on the
+    # first est_num_batches, then train with quantizer ranges as parameters
+    # (quantization_manager.py:80-87 learn_ranges; LSQ grad scaling)
+    qat_config = None
+    trainable = params
+    if args.quantize and args.learn_ranges:
+        from outeffhop_tpu.drivers.common import build_quant_ctx
+        from outeffhop_tpu.quant.learn_ranges import make_ranges_trainable
+
+        qat_config = A.quant_config_from_args(args)
+
+        def calib_fwd(batch, qctx):
+            bert_mlm_forward(
+                params, cfg,
+                jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]),
+                q=qctx, deterministic=True,
+            )
+
+        calib = train_batches[: args.est_num_batches]
+        qctx0 = build_quant_ctx(calib_fwd, qat_config, calib)
+        ranges = make_ranges_trainable(
+            qctx0._ctx.weight_qparams, qctx0._ctx.act_qparams
+        )
+        trainable = {"model": params, "ranges": ranges}
+
     tx = make_adamw(
-        params,
+        trainable,
         lr=args.learning_rate,
         betas=(args.adam_beta1, args.adam_beta2),
         weight_decay=args.weight_decay,
@@ -72,8 +97,11 @@ def main(argv=None):
         clip_norm=args.max_grad_norm,
         accum_steps=args.gradient_accumulation_steps,
     )
-    state = init_train_state(params, tx)
-    step_fn = make_mlm_train_step(cfg, tx, mesh=mesh, use_flash=bool(args.use_flash))
+    state = init_train_state(trainable, tx)
+    step_fn = make_mlm_train_step(
+        cfg, tx, mesh=mesh, use_flash=bool(args.use_flash),
+        qat_config=qat_config, grad_scaling=not args.no_range_grad_scaling,
+    )
 
     start_step = 0
     if args.resume_from_checkpoint:
@@ -109,6 +137,26 @@ def main(argv=None):
                 completed += 1
                 if completed % 10 == 0:
                     tracker.log({"train/loss": losses[-1]}, completed)
+                if (
+                    args.tb_hist_log_interval
+                    and completed % args.tb_hist_log_interval == 0
+                ):
+                    # weight histograms + inf-norms (run_mlm_ddp.py:617-641)
+                    model_params = (
+                        state.params["model"] if qat_config is not None else state.params
+                    )
+                    flat = jax.tree_util.tree_flatten_with_path(
+                        model_params, is_leaf=lambda x: x is None
+                    )[0]
+                    for path, leaf in flat:
+                        if leaf is None or leaf.ndim < 2:
+                            continue
+                        name = "/".join(
+                            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+                        )
+                        tracker.log_histogram(
+                            f"weights/{name}", jax.device_get(leaf), completed
+                        )
                 if ckpt_every and args.output_dir and completed % ckpt_every == 0:
                     save_checkpoint(args.output_dir, f"step_{completed}", state)
                 if completed >= total_steps:
@@ -117,12 +165,29 @@ def main(argv=None):
         if args.checkpointing_steps == "epoch" and args.output_dir:
             save_checkpoint(args.output_dir, f"epoch_{epoch}", state)
 
+    # QAT: split the trained bundle back into model params + a frozen
+    # run-mode ctx over the LEARNED ranges (learn→fix transition)
+    final_params = state.params
+    eval_qctx = None
+    if qat_config is not None:
+        from outeffhop_tpu.quant.calibrate import QuantCtx, ScopedQuantCtx
+        from outeffhop_tpu.quant.learn_ranges import freeze_learned_ranges
+
+        final_params = state.params["model"]
+        learned = jax.tree.map(
+            lambda x: jnp.asarray(jax.device_get(x)) if x is not None else None,
+            state.params["ranges"],
+            is_leaf=lambda x: x is None,
+        )
+        wq_l, aq_l = freeze_learned_ranges(learned)
+        eval_qctx = ScopedQuantCtx(QuantCtx.run(qat_config, wq_l, aq_l), "")
+
     # eval with telemetry (run_mlm.py:676-729). Params are gathered off the
     # mesh first: the probe-taped eval path runs eagerly, and eager per-op
     # collectives over TP-sharded params deadlock on the CPU backend.
     eval_params = jax.tree.map(
         lambda x: jnp.asarray(jax.device_get(x)) if x is not None else None,
-        state.params,
+        final_params,
         is_leaf=lambda x: x is None,
     )
 
@@ -139,11 +204,15 @@ def main(argv=None):
         nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
         return jnp.sum(jnp.where(mask, nll, 0.0)), jnp.sum(mask)
 
-    eval_loss, telem = eval_loop(loss_and_count, eval_batches)
+    if eval_qctx is not None:
+        eval_loss, telem = eval_loop(loss_and_count, eval_batches, qctx=eval_qctx)
+    else:
+        eval_loss, telem = eval_loop(loss_and_count, eval_batches)
     results = {
         "train_loss": float(np.mean(losses[-50:])) if losses else None,
         "perplexity": math.exp(eval_loss),
         "completed_steps": completed,
+        "learned_ranges": qat_config is not None,
         **telem,
     }
     if args.output_dir:

@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synthetic train-set size")
     g.add_argument("--mixup", type=float, default=0.0, help="mixup α (0 = off)")
     g.add_argument("--cutmix", type=float, default=0.0, help="cutmix α (0 = off)")
+    g.add_argument("--aa", type=str, default=None,
+                   help="rand-augment config, timm syntax e.g. rand-m9-mstd0.5 "
+                        "(reference run_vit.py:883-895); runs on-device in the "
+                        "jitted train step")
+    g.add_argument("--reprob", type=float, default=0.0,
+                   help="random-erasing probability, 'pixel' mode "
+                        "(reference run_vit.py --reprob)")
     g.add_argument("--smoothing", type=float, default=0.1, help="label smoothing")
     g.add_argument("--model_ema", action="store_true")
     g.add_argument("--model_ema_decay", type=float, default=0.9998)
@@ -224,10 +231,24 @@ def main(argv=None):
         lb = smoothed_ce(logits, labels_b, args.smoothing)
         return lam * la + (1 - lam) * lb
 
+    aa_cfg = None
+    if args.aa:
+        from outeffhop_tpu.data.augment import parse_rand_augment_config
+
+        aa_cfg = parse_rand_augment_config(args.aa)
+
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(p, opt_state, ema, images, labels, rng):
-        k_mix, k_drop = jax.random.split(rng)
+        k_aa, k_erase, k_mix, k_drop = jax.random.split(rng, 4)
         images = images.astype(jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+        if aa_cfg is not None:
+            from outeffhop_tpu.data.augment import rand_augment
+
+            images = rand_augment(images, k_aa, **aa_cfg)
+        if args.reprob > 0:
+            from outeffhop_tpu.data.augment import random_erasing
+
+            images = random_erasing(images, k_erase, prob=args.reprob)
         mixed, la, lb, lam = mix_batch(k_mix, images, labels, args.mixup, args.cutmix)
         loss, grads = jax.value_and_grad(loss_fn)(p, mixed, la, lb, lam, k_drop)
         updates, opt_state = tx.update(grads, opt_state, p)

@@ -38,8 +38,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ffn_dim", type=int, default=None)
     p.add_argument("--word_embed_proj_dim", type=int, default=None)
     p.add_argument("--no_layer_norm_before", action="store_true")
-    p.add_argument("--save_quantized_dir", type=str, default=None,
-                   help="save calibrated INT8 qparams (validate_clm.py:501-512)")
     return p
 
 
@@ -96,8 +94,24 @@ def load_params(args, cfg: OPTConfig):
 def make_batches(args, cfg: OPTConfig, split_seed: int, block_size: int):
     from outeffhop_tpu.data.text import clm_batches, group_texts, synthetic_token_stream
 
-    stream = synthetic_token_stream(args.synthetic_tokens, cfg.vocab_size, seed=split_seed)
-    blocks = group_texts(stream, block_size)
+    if args.dataset_setup != "synthetic":
+        from outeffhop_tpu.data.corpus import load_corpus
+
+        corpora = load_corpus(
+            args.dataset_setup,
+            args.tokenizer_name or args.model_name_or_path or "facebook/opt-125m",
+            block_size,
+            data_cache_dir=args.data_cache_dir or "~/.hf_data",
+            train_percentage=args.train_percentage,
+            validation_percentage=args.validation_percentage,
+            overwrite_cache=args.overwrite_cache,
+        )
+        blocks = corpora["train" if split_seed == args.seed else "validation"]
+    else:
+        stream = synthetic_token_stream(
+            args.synthetic_tokens, cfg.vocab_size, seed=split_seed
+        )
+        blocks = group_texts(stream, block_size)
     return list(clm_batches(blocks, args.per_device_eval_batch_size))
 
 
@@ -146,29 +160,38 @@ def main(argv=None):
     results.update({f"fp_{k}": v for k, v in fp_telem.items()})
 
     if args.quantize:
-        config = A.quant_config_from_args(args)
-        qctx = build_quant_ctx(lambda b, q: fwd(b, q), config, calib_batches)
+        if args.load_quantized_dir:
+            # recalibration-free reload (base_quantized_model.py:34-82 parity)
+            from outeffhop_tpu.quant.checkpoint import quant_ctx_from_ckpt
+
+            qctx = quant_ctx_from_ckpt(args.load_quantized_dir)
+        else:
+            config = A.quant_config_from_args(args)
+            qctx = build_quant_ctx(lambda b, q: fwd(b, q), config, calib_batches)
         q_loss, q_telem = eval_loop(
             loss_and_count, eval_batches, qctx=qctx, max_telemetry_batches=100
         )
         results["int8_perplexity"] = math.exp(q_loss)
         results["delta_perplexity"] = results["int8_perplexity"] - results["perplexity"]
         results.update({f"int8_{k}": v for k, v in q_telem.items()})
+        xctx = None
         if args.execute_int8:
-            xctx = build_quant_ctx(
-                lambda b, q: fwd(b, q), config, calib_batches, execute_int8=True
-            )
+            if args.load_quantized_dir and qctx._ctx.int8_dense:
+                xctx = qctx  # checkpoint already carries the int8 weights
+            else:
+                xctx = build_quant_ctx(
+                    lambda b, q: fwd(b, q), config, calib_batches, execute_int8=True
+                )
             x_loss, _ = eval_loop(
                 loss_and_count, eval_batches, qctx=xctx, collect_telemetry=False
             )
             results["int8exec_perplexity"] = math.exp(x_loss)
         if args.save_quantized_dir:
-            import pickle
+            # full quantized-state save: qparams (+ int8 weights when the
+            # integer-execution ctx exists) — validate_clm.py:501-512
+            from outeffhop_tpu.quant.checkpoint import save_quantized_ckpt
 
-            os.makedirs(args.save_quantized_dir, exist_ok=True)
-            with open(os.path.join(args.save_quantized_dir, "qparams.pkl"), "wb") as f:
-                pickle.dump(jax.device_get({"w": qctx._ctx.weight_qparams,
-                                            "a": qctx._ctx.act_qparams}), f)
+            save_quantized_ckpt(args.save_quantized_dir, xctx or qctx)
 
     write_results(args.output_dir, results)
     return results

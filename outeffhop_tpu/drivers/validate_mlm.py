@@ -95,16 +95,39 @@ def load_params(args, cfg: BertConfig):
 
 
 def make_batches(args, cfg: BertConfig, split_seed: int):
+    """split_seed == args.seed selects the train stream (calibration runs on
+    train data, validate_clm.py:489-494); any other seed → validation."""
     from outeffhop_tpu.data.text import group_texts, mlm_batches, synthetic_token_stream
 
-    stream = synthetic_token_stream(args.synthetic_tokens, cfg.vocab_size, seed=split_seed)
-    blocks = group_texts(stream, args.block_size_mlm)
+    mask_token_id = cfg.vocab_size - 1
+    if args.dataset_setup != "synthetic":
+        # real corpus: HF datasets → tokenize → group_texts cache
+        # (data/corpus.py; reference run_mlm.py:253-395). Needs network or a
+        # pre-built tokenized_*_{seqlen} cache under --data_cache_dir.
+        from outeffhop_tpu.data.corpus import load_corpus
+
+        corpora = load_corpus(
+            args.dataset_setup,
+            args.tokenizer_name or args.model_name_or_path or "bert-base-uncased",
+            args.block_size_mlm,
+            data_cache_dir=args.data_cache_dir or "~/.hf_data",
+            train_percentage=args.train_percentage,
+            validation_percentage=args.validation_percentage,
+            overwrite_cache=args.overwrite_cache,
+        )
+        blocks = corpora["train" if split_seed == args.seed else "validation"]
+        mask_token_id = args.mask_token_id if args.mask_token_id is not None else 103
+    else:
+        stream = synthetic_token_stream(
+            args.synthetic_tokens, cfg.vocab_size, seed=split_seed
+        )
+        blocks = group_texts(stream, args.block_size_mlm)
     return list(
         mlm_batches(
             blocks,
             args.per_device_eval_batch_size,
             cfg.vocab_size,
-            mask_token_id=cfg.vocab_size - 1,
+            mask_token_id=mask_token_id,
             mlm_probability=args.mlm_probability,
             seed=split_seed,
             shuffle=False,
@@ -156,20 +179,34 @@ def main(argv=None):
     results.update({f"fp_{k}": v for k, v in fp_telem.items()})
 
     if args.quantize:
-        config = A.quant_config_from_args(args)
-        qctx = build_quant_ctx(lambda b, q: fwd(b, q), config, calib_batches)
+        if args.load_quantized_dir:
+            # recalibration-free reload of a saved quantized state
+            from outeffhop_tpu.quant.checkpoint import quant_ctx_from_ckpt
+
+            qctx = quant_ctx_from_ckpt(args.load_quantized_dir)
+        else:
+            config = A.quant_config_from_args(args)
+            qctx = build_quant_ctx(lambda b, q: fwd(b, q), config, calib_batches)
         q_loss, q_telem = eval_loop(loss_and_count, eval_batches, qctx=qctx)
         results["int8_perplexity"] = math.exp(q_loss)
         results["delta_perplexity"] = results["int8_perplexity"] - results["perplexity"]
         results.update({f"int8_{k}": v for k, v in q_telem.items()})
+        xctx = None
         if args.execute_int8:
-            xctx = build_quant_ctx(
-                lambda b, q: fwd(b, q), config, calib_batches, execute_int8=True
-            )
+            if args.load_quantized_dir and qctx._ctx.int8_dense:
+                xctx = qctx  # checkpoint already carries the int8 weights
+            else:
+                xctx = build_quant_ctx(
+                    lambda b, q: fwd(b, q), config, calib_batches, execute_int8=True
+                )
             x_loss, _ = eval_loop(
                 loss_and_count, eval_batches, qctx=xctx, collect_telemetry=False
             )
             results["int8exec_perplexity"] = math.exp(x_loss)
+        if args.save_quantized_dir:
+            from outeffhop_tpu.quant.checkpoint import save_quantized_ckpt
+
+            save_quantized_ckpt(args.save_quantized_dir, xctx or qctx)
 
     write_results(args.output_dir, results)
     return results

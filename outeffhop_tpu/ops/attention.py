@@ -284,11 +284,19 @@ def attention_with_extras(
     # produce — no (B,H,T,D) transpose materializations around the Pallas call
     # (~1.2 ms/forward of pure layout traffic at BERT-base B32xS128 on v5e).
     t_kv = (encoder_hidden_states if is_cross else hidden_states).shape[1]
+    from outeffhop_tpu.ops.flash import packed_supported
+
     if (
         flash_eligible
         and past_key_value is None
         and not is_decoder
-        and hidden_states.shape[1] * t_kv * 4 <= 4 * 1024 * 1024
+        # shared predicate with the kernel wrapper: lane-group legality AND
+        # VMEM fit (round-2 shipped a resource-only guard; the kernel then
+        # failed Mosaic's lane rule on-chip — gate and wrapper must not drift)
+        and packed_supported(
+            hidden_states.shape[0], hidden_states.shape[1], t_kv,
+            n_heads, cfg.head_size, hidden_states.dtype.itemsize,
+        )
     ):
         from outeffhop_tpu.ops.flash import flash_attention_packed
 

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from outeffhop_tpu.ops.pallas_checks import validate_block_specs
+
 Array = jax.Array
 
 NEG_INF = -1e30  # large-negative mask fill that survives fp32 exp arithmetic
@@ -243,6 +245,12 @@ def _flash_attention_short(
             )
         in_specs.append(pl.BlockSpec((block_bh, 1, t_k), lambda i: (i, 0, 0)))
         args.append(bias)
+    validate_block_specs(
+        [((block_bh, t_q, d), qr.shape), ((block_bh, t_k, d), kr.shape),
+         ((block_bh, t_k, d), vr.shape)]
+        + ([((block_bh, 1, t_k), bias.shape)] if bias is not None else []),
+        kernel="_flash_attention_short",
+    )
 
     kernel = functools.partial(
         _batched_onepass_kernel if bias is not None else _batched_onepass_kernel_nobias,
@@ -281,10 +289,106 @@ def _batched_onepass_kernel_nobias(q_ref, k_ref, v_ref, o_ref, **kw):
 # to MATERIALIZE four transposed copies per attention (q,k,v in, o out):
 # ~1.2 ms/forward of pure layout traffic at BERT-base B32xS128 (measured on
 # v5e; XLA fuses the same transposes into its unfused einsums for free).
-# Here heads never leave the lane dimension: each head is a static 64-wide
-# lane slice, unrolled inside the kernel, so the model goes projection →
-# kernel → output-projection with zero physical transposes.
+# Here heads never leave the lane dimension: each program receives a
+# *lane-aligned group* of heads (e.g. two 64-wide heads = 128 lanes, the
+# Mosaic minimum — a single 64-lane head block cannot lower) and splits the
+# group into per-head slices inside the kernel body, so the model goes
+# projection → kernel → output-projection with zero physical transposes.
 # --------------------------------------------------------------------------
+
+
+def packed_head_group(heads: int, d: int) -> int:
+    """Heads per program for the packed kernel.
+
+    The block's minor (lane) dim must be a multiple of 128 or the full H*D
+    (Mosaic's lowering rule — see ops/pallas_checks.py). Returns the smallest
+    head-group size g with (g*d) % 128 == 0 and heads % g == 0; if no such g
+    exists, returns `heads` (a block covering the full minor dim is always
+    legal)."""
+    base = 128 // math.gcd(d, 128)
+    g = base
+    while g < heads:
+        if heads % g == 0:
+            return g
+        g += base
+    return heads
+
+
+def _packed_onepass_kernel(
+    q_ref,     # (bb, T_q, G*D)
+    k_ref,     # (bb, T_k, G*D)
+    v_ref,     # (bb, T_k, G*D)
+    bias_ref,  # (bb, 1, T_k) or None
+    o_ref,     # (bb, T_q, G*D)
+    *,
+    scale,
+    softmax_n,
+    causal,
+    causal_offset,
+    t_q,
+    t_k,
+    d,
+    group,
+):
+    """One-pass softmax_n attention over a lane-aligned group of heads.
+
+    Each head is a static d-wide lane slice of the block; the per-head loop is
+    unrolled at trace time (group is 2 for the BERT/OPT/ViT d=64 families).
+    Static lane slices at d-multiples lower to in-register relayouts — no HBM
+    traffic, unlike the XLA-materialized (B,H,T,D) transposes this replaces."""
+    if causal:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (1, t_q, t_k), 1)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (1, t_q, t_k), 2)
+        causal_keep = q_pos + causal_offset >= k_pos
+    bias = bias_ref[...].astype(jnp.float32) if bias_ref is not None else None
+    for hh in range(group):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (bb, T_q, T_k)
+        s = s * scale
+        if bias is not None:
+            s = s + bias
+        if causal:
+            s = jnp.where(causal_keep, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        if softmax_n:
+            m = jnp.maximum(m, 0.0)  # see softmax_variants.softmax_n
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        if softmax_n:
+            denom = denom + softmax_n * jnp.exp(-m)
+        p = p / denom
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, sl] = pv.astype(o_ref.dtype)
+
+
+def _packed_onepass_kernel_nobias(q_ref, k_ref, v_ref, o_ref, **kw):
+    _packed_onepass_kernel(q_ref, k_ref, v_ref, None, o_ref, **kw)
+
+
+def packed_supported(
+    b: int, t_q: int, t_k: int, heads: int, d: int, itemsize: int = 2
+) -> bool:
+    """True iff `flash_attention_packed` can lower AND fit VMEM for these
+    shapes — the dispatch gate (`attention.py`) and the wrapper share this
+    single predicate so guard and kernel cannot drift (round-2 VERDICT #7)."""
+    group = packed_head_group(heads, d)
+    t_q_pad, t_k_pad = _ceil_to(t_q, 8), _ceil_to(t_k, 8)
+    # per-batch-element VMEM at block_b=1: q/o (t_q) + k/v (t_k) group slices,
+    # two live f32 score tiles (current + next head, double-buffer headroom),
+    # plus the bias row
+    per_b = (
+        2 * (t_q_pad + t_k_pad) * group * d * itemsize
+        + 2 * t_q_pad * t_k_pad * 4
+        + t_k_pad * 4
+    )
+    return per_b <= 10 * 1024 * 1024
 
 
 def flash_attention_packed(
@@ -304,13 +408,12 @@ def flash_attention_packed(
     Same numerics as :func:`flash_attention`, but operands stay in the layout
     the QKV projections produce and the context returns in the layout the
     output projection consumes — no (B,H,T,D) transposes anywhere. The grid
-    runs over (batch-block, head) and each head's 64-lane slice is delivered
-    straight out of the packed array by the BlockSpec index map, so the
-    "transpose" happens inside the block DMA instead of as materialized XLA
-    copies. The kernel body is the same full-batch batched-dot one-pass as
-    `_batched_onepass_kernel`. Requires the whole (T_q, T_k) score tile to
-    fit VMEM (true at all the reference's sequence lengths); longer sequences
-    should go through :func:`flash_attention`.
+    runs over (batch-block, head-group); each program gets a lane-aligned
+    group of `packed_head_group(heads, d)` heads (128-lane multiple — a bare
+    64-lane head slice violates Mosaic's tiling rule and cannot lower) and
+    splits heads inside the kernel as static lane slices. Requires the whole
+    (T_q, T_k) score tile to fit VMEM (true at all the reference's sequence
+    lengths); longer sequences should go through :func:`flash_attention`.
 
     Args:
       q: (B, T_q, H*D); k, v: (B, T_k, H*D); bias: (B or 1, 1, 1, T_k).
@@ -321,12 +424,13 @@ def flash_attention_packed(
     assert heads * d == hd
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    if t_q * t_k * 4 > 4 * 1024 * 1024:
+    if not packed_supported(b, t_q, t_k, heads, d, q.dtype.itemsize):
         raise ValueError(
             f"flash_attention_packed is the short-sequence path; "
-            f"(T_q={t_q}, T_k={t_k}) score tile exceeds the VMEM budget — "
-            "use flash_attention instead"
+            f"(T_q={t_q}, T_k={t_k}, heads={heads}, d={d}) exceeds the VMEM "
+            "budget — use flash_attention instead"
         )
+    group = packed_head_group(heads, d)
 
     # pad T to sublane multiples; padded K rows are masked via the bias
     t_q_pad = _ceil_to(t_q, 8)
@@ -352,40 +456,51 @@ def flash_attention_packed(
     elif bias is not None:
         bias = jnp.maximum(bias.reshape(-1, 1, t_k).astype(jnp.float32), NEG_INF)
 
-    # batch-block size: one head-slice of q/k/v/o per program plus the f32
-    # score tile, inside the 4-6MB VMEM sweet spot (see _flash_attention_short)
-    per_b = (2 * t_q_pad + 2 * t_k_pad) * d * q.dtype.itemsize + t_q_pad * t_k_pad * 4
+    # batch-block size: one head-group slice of q/k/v/o per program plus the
+    # per-head f32 score tiles (×2: live + pipeline headroom), inside the
+    # 4-6MB VMEM sweet spot (see _flash_attention_short)
+    gd = group * d
+    per_b = 2 * (t_q_pad + t_k_pad) * gd * q.dtype.itemsize + 2 * t_q_pad * t_k_pad * 4
     block_b = max(1, min(b, (5 * 1024 * 1024) // per_b))
     while b % block_b:
         block_b -= 1
-    grid = (b // block_b, heads)
+    grid = (b // block_b, heads // group)
 
     in_specs = [
-        pl.BlockSpec((block_b, t_q_pad, d), lambda i, h: (i, 0, h)),
-        pl.BlockSpec((block_b, t_k_pad, d), lambda i, h: (i, 0, h)),
-        pl.BlockSpec((block_b, t_k_pad, d), lambda i, h: (i, 0, h)),
+        pl.BlockSpec((block_b, t_q_pad, gd), lambda i, h: (i, 0, h)),
+        pl.BlockSpec((block_b, t_k_pad, gd), lambda i, h: (i, 0, h)),
+        pl.BlockSpec((block_b, t_k_pad, gd), lambda i, h: (i, 0, h)),
+    ]
+    shapes = [
+        ((block_b, t_q_pad, gd), q.shape),
+        ((block_b, t_k_pad, gd), k.shape),
+        ((block_b, t_k_pad, gd), v.shape),
     ]
     args = [q, k, v]
     if bias is not None:
         if bias.shape[0] == 1:
             bias = jnp.broadcast_to(bias, (b, 1, t_k_pad))
         in_specs.append(pl.BlockSpec((block_b, 1, t_k_pad), lambda i, h: (i, 0, 0)))
+        shapes.append(((block_b, 1, t_k_pad), bias.shape))
         args.append(bias)
+    validate_block_specs(shapes, kernel="flash_attention_packed")
 
     kernel = functools.partial(
-        _batched_onepass_kernel if bias is not None else _batched_onepass_kernel_nobias,
+        _packed_onepass_kernel if bias is not None else _packed_onepass_kernel_nobias,
         scale=scale,
         softmax_n=softmax_n,
         causal=causal,
         causal_offset=t_k - t_q,
         t_q=t_q_pad,
         t_k=t_k_pad,
+        d=d,
+        group=group,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((block_b, t_q_pad, d), lambda i, h: (i, 0, h)),
+        out_specs=pl.BlockSpec((block_b, t_q_pad, gd), lambda i, h: (i, 0, h)),
         out_shape=jax.ShapeDtypeStruct((b, t_q_pad, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -495,6 +610,12 @@ def flash_attention(
                 pl.BlockSpec((1, 1, block_k), lambda bh, iq, ik: (bh // h, 0, ik))
             )
         args.append(bias)
+    validate_block_specs(
+        [((1, block_q, d), qr.shape), ((1, block_k, d), kr.shape),
+         ((1, block_k, d), vr.shape)]
+        + ([((1, 1, block_k), bias.shape)] if bias is not None else []),
+        kernel="flash_attention",
+    )
 
     if onepass:
         base = _flash_kernel_onepass if bias is not None else _flash_kernel_onepass_nobias

@@ -28,7 +28,16 @@ def softmax_n(x: Array, n: float, axis: int = -1) -> Array:
     Numerically stabilized by subtracting the per-row max from the logits and
     shifting the phantom `n` zero-logits by the same amount (`n * exp(-max)`),
     matching `vutils/softmax_1.py:4-21` semantics exactly.
+
+    `n` must be a static Python number (it selects the formula via `if n:` at
+    trace time — every registry preset and model config supplies a literal);
+    a traced `n` raises rather than silently mis-tracing.
     """
+    if isinstance(n, jax.core.Tracer):
+        raise TypeError(
+            "softmax_n requires a static (Python) n; got a traced value — "
+            "wrap the call or use jnp.where over both branches"
+        )
     m = jnp.max(x, axis=axis, keepdims=True)
     if n:
         # The phantom n zero-logits participate in the max-shift: m >= 0 keeps

@@ -53,6 +53,10 @@ def decay_mask(params):
             return False
         if any("gate" in n.lower() for n in names):
             return False
+        # learned quantizer ranges (QAT bundle): never weight-decayed — decay
+        # would shrink every scale toward zero regardless of the data
+        if any(n == "ranges" for n in names):
+            return False
         return True
 
     return jax.tree_util.tree_map_with_path(
@@ -135,16 +139,45 @@ def _make_train_step(loss_fn: Callable, tx: optax.GradientTransformation):
     return train_step
 
 
-def make_mlm_train_step(cfg, tx, mesh: Optional[Mesh] = None, use_flash: bool = False):
-    """BERT MLM train step: batch = dict(input_ids, attention_mask, labels)."""
+def _qat_ctx(trainable, qat_config, grad_scaling):
+    """Split a QAT bundle {'model', 'ranges'} into (model_params, run-mode
+    quant ctx over the *traced* range leaves) — the `learn_ranges` FSM state
+    (`quantization_manager.py:80-87`): fake-quant runs with trainable
+    delta/zero_float, gradients flow via the STE machinery."""
+    from outeffhop_tpu.quant.calibrate import NULL_QCTX, QuantCtx, ScopedQuantCtx
+
+    if qat_config is None:
+        return trainable, NULL_QCTX
+    ranges = trainable["ranges"]
+    ctx = QuantCtx.run(
+        qat_config, ranges["w"], ranges["a"], grad_scaling=grad_scaling
+    )
+    return trainable["model"], ScopedQuantCtx(ctx, "")
+
+
+def make_mlm_train_step(
+    cfg,
+    tx,
+    mesh: Optional[Mesh] = None,
+    use_flash: bool = False,
+    qat_config=None,
+    grad_scaling: bool = True,
+):
+    """BERT MLM train step: batch = dict(input_ids, attention_mask, labels).
+
+    With `qat_config` (a QuantizedModelConfig), the state's params pytree is a
+    {'model': params, 'ranges': RangesBundle} QAT bundle and the forward runs
+    fake-quantized with trainable ranges (learned-ranges QAT)."""
     from outeffhop_tpu.models.bert import bert_mlm_forward, mlm_loss
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(trainable, batch, rng):
+        params, q = _qat_ctx(trainable, qat_config, grad_scaling)
         logits = bert_mlm_forward(
             params,
             cfg,
             batch["input_ids"],
             batch.get("attention_mask"),
+            q=q,
             dropout_rng=rng,
             deterministic=False,
             use_flash=use_flash,
@@ -157,17 +190,27 @@ def make_mlm_train_step(cfg, tx, mesh: Optional[Mesh] = None, use_flash: bool = 
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_clm_train_step(cfg, tx, mesh: Optional[Mesh] = None, use_flash: bool = False):
+def make_clm_train_step(
+    cfg,
+    tx,
+    mesh: Optional[Mesh] = None,
+    use_flash: bool = False,
+    qat_config=None,
+    grad_scaling: bool = True,
+):
     """OPT CLM train step: batch = dict(input_ids, attention_mask, labels)
-    with labels = input_ids (`run_clm.py` block packing)."""
+    with labels = input_ids (`run_clm.py` block packing). `qat_config` enables
+    the learned-ranges QAT bundle as in `make_mlm_train_step`."""
     from outeffhop_tpu.models.opt import clm_loss, opt_forward
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(trainable, batch, rng):
+        params, q = _qat_ctx(trainable, qat_config, grad_scaling)
         logits, _ = opt_forward(
             params,
             cfg,
             batch["input_ids"],
             batch.get("attention_mask"),
+            q=q,
             dropout_rng=rng,
             deterministic=False,
             use_flash=use_flash,

@@ -37,3 +37,8 @@ from outeffhop_tpu.quant.int8_exec import (
     int8_dense_apply,
     build_int8_dense_map,
 )
+from outeffhop_tpu.quant.checkpoint import (
+    save_quantized_ckpt,
+    load_quantized_ckpt,
+    quant_ctx_from_ckpt,
+)

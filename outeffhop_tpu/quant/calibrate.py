@@ -70,6 +70,8 @@ def _batch_lo_hi(cfg: SiteCfg, x: Array) -> Tuple[Array, Array]:
 
 
 def _update_est_state(cfg: SiteCfg, state: EstState, x: Array) -> EstState:
+    if cfg.estimator.lower() == "mse":
+        return _update_mse_state(cfg, state, x)
     lo, hi = _batch_lo_hi(cfg, x)
     if cfg.estimator == "running_minmax":
         m = cfg.estimator_kw.get("momentum", 0.9)
@@ -80,9 +82,138 @@ def _update_est_state(cfg: SiteCfg, state: EstState, x: Array) -> EstState:
         new_lo, new_hi = lo, hi
     else:
         raise NotImplementedError(
-            f"in-jit calibration supports current/running_minmax, got {cfg.estimator!r}"
+            f"in-jit calibration supports current/running_minmax/MSE, got {cfg.estimator!r}"
         )
     return dict(lo=new_lo, hi=new_hi, n=state["n"] + 1)
+
+
+# --------------------------------------------------------------------------
+# MSE activation range estimation (`--ranges_acts MSE`)
+#
+# Reference: `quantization/range_estimators.py:114-382`. The first batch
+# defines the candidate search space (`_define_search_range`, :215-239); each
+# batch then accumulates the quant-MSE of every candidate range over the full
+# tensor (no momentum, :241-259/:264-290); the current/final range is the
+# accumulated argmin. Symmetric quantizers (and one-sided data) use the 1-D
+# grid; the asymmetric two-sided case is the 2-D grid over (range, skew).
+# The 2-D skew axis is subsampled by `skew_stride` (default 8; reference
+# sweeps all 2^b/4 = 64 integer skews — set skew_stride=1 via
+# act_range_options for the exact, 64x slower sweep).
+#
+# The running `jax.lax.map` over candidates keeps the fold jit-compatible:
+# the estimator state is (search-space scalars + loss accumulator), all
+# arrays, so calibration still runs as one compiled scan per batch.
+# --------------------------------------------------------------------------
+
+
+def _mse_fake_quant(x: Array, lo: Array, hi: Array, cfg: SiteCfg) -> Array:
+    if cfg.symmetric:
+        qp = qparams_from_range_symmetric(lo, hi, n_bits=cfg.n_bits, signed=True)
+    else:
+        qp = qparams_from_range_asymmetric(lo, hi, n_bits=cfg.n_bits)
+    return fake_quant(x, qp)
+
+
+def _mse_candidates_1d(state):
+    nc = state["loss"].shape[0] - 1
+    step = state["thr"] / nc
+    cand = step * jnp.arange(1, nc + 1, dtype=jnp.float32)  # (nc,)
+    pos = cand
+    neg = jnp.where(state["one_sided"] > 0, 0.0, -cand)
+    return neg, pos
+
+
+def _mse_candidates_2d(state, n_bits: int, skew_stride: int):
+    nc, n_skew, _ = state["loss"].shape
+    nc -= 1
+    step = state["thr"] / nc
+    cand = step * jnp.arange(1, nc + 1, dtype=jnp.float32)  # (nc,)
+    temp_delta = 2.0 * cand / (2.0**n_bits - 1)  # (nc,)
+    s_idx = jnp.arange(n_skew, dtype=jnp.float32) * skew_stride  # (S,)
+    sign = jnp.array([1.0, -1.0], jnp.float32)  # (2,)
+    skew = (
+        temp_delta[:, None, None] * s_idx[None, :, None] * sign[None, None, :]
+    )  # (nc, S, 2)
+    neg = jnp.maximum(-cand[:, None, None] + skew, state["max_neg"])
+    pos = jnp.minimum(cand[:, None, None] + skew, state["max_pos"])
+    return neg, pos
+
+
+def _init_mse_state(cfg: SiteCfg, x: Array) -> EstState:
+    """First-batch search-space definition (runs EAGERLY — run_calibration
+    executes the first batch outside jit, so min/max here are concrete)."""
+    kw = cfg.estimator_kw
+    nc = int(kw.get("num_candidates", 100))
+    margin = float(kw.get("range_margin", 0.5))
+    skew_stride = int(kw.get("skew_stride", 8))
+    xf = x.astype(jnp.float32)
+    xmin = float(jax.device_get(jnp.min(xf)))
+    xmax = float(jax.device_get(jnp.max(xf)))
+    one_sided = xmin >= 0.0
+    if one_sided or cfg.symmetric:
+        # 1-D search (range_estimators.py:220-229)
+        thr = max(abs(xmin), abs(xmax)) + margin
+        loss = jnp.zeros((nc + 1,), jnp.float32).at[0].set(jnp.inf)
+        return dict(
+            thr=jnp.float32(thr),
+            one_sided=jnp.float32(1.0 if one_sided else 0.0),
+            loss=loss,
+            n=jnp.zeros((), jnp.int32),
+        )
+    # 2-D search (range_estimators.py:230-239): skew axis subsampled
+    max_int_skew = (2**cfg.n_bits) // 4
+    n_skew = max(1, -(-max_int_skew // skew_stride))
+    max_pos = xmax + margin
+    max_neg = xmin - margin
+    thr = max(abs(max_pos), abs(max_neg))
+    loss = jnp.zeros((nc + 1, n_skew, 2), jnp.float32).at[0].set(jnp.inf)
+    return dict(
+        thr=jnp.float32(thr),
+        one_sided=jnp.zeros((), jnp.float32),
+        max_pos=jnp.float32(max_pos),
+        max_neg=jnp.float32(max_neg),
+        loss=loss,
+        n=jnp.zeros((), jnp.int32),
+    )
+
+
+def _update_mse_state(cfg: SiteCfg, state: EstState, x: Array) -> EstState:
+    xf = x.astype(jnp.float32)
+    skew_stride = int(cfg.estimator_kw.get("skew_stride", 8))
+    if state["loss"].ndim == 1:
+        neg, pos = _mse_candidates_1d(state)  # (nc,)
+        flat_neg, flat_pos = neg, pos
+    else:
+        neg, pos = _mse_candidates_2d(state, cfg.n_bits, skew_stride)
+        flat_neg, flat_pos = neg.reshape(-1), pos.reshape(-1)
+
+    def one(args):
+        lo, hi = args
+        y = _mse_fake_quant(xf, lo, hi, cfg)
+        return jnp.sum(jnp.square(xf - y))
+
+    losses = jax.lax.map(one, (flat_neg, flat_pos))
+    new_loss = state["loss"].at[
+        (slice(1, None),) if state["loss"].ndim == 1 else (slice(1, None), slice(None), slice(None))
+    ].add(losses.reshape(state["loss"].shape[0] - 1, *state["loss"].shape[1:]))
+    out = dict(state)
+    out["loss"] = new_loss
+    out["n"] = state["n"] + 1
+    return out
+
+
+def _mse_lo_hi(cfg: SiteCfg, state: EstState):
+    """Current argmin range of the accumulated candidate losses
+    (`_perform_1D_search`/`_perform_2D_search` argmin, :256-262/:292-305)."""
+    skew_stride = int(cfg.estimator_kw.get("skew_stride", 8))
+    if state["loss"].ndim == 1:
+        neg, pos = _mse_candidates_1d(state)
+        idx = jnp.argmin(state["loss"][1:])
+        return neg[idx], pos[idx]
+    neg, pos = _mse_candidates_2d(state, cfg.n_bits, skew_stride)
+    flat = state["loss"][1:].reshape(-1)
+    idx = jnp.argmin(flat)
+    return neg.reshape(-1)[idx], pos.reshape(-1)[idx]
 
 
 def _qparams_from_state(cfg: SiteCfg, lo: Array, hi: Array) -> QParams:
@@ -111,6 +242,11 @@ class QuantCtx:
         # name ('...|w') → Int8Dense: real integer execution for these dense
         # sites in run mode (quant/int8_exec.py); empty = simulate only.
         self.int8_dense: dict = {}
+        # learned-ranges QAT: LSQ-style 1/sqrt(Qp*N) gradient scaling on the
+        # quantizer params (`base_quantized_model.py:157` grad_scaling toggle,
+        # `uniform_quantizers.py:150-157`); only meaningful when the qparams
+        # dicts are trainable leaves of the optimizer pytree.
+        self.grad_scaling: bool = False
 
     # -- constructors ------------------------------------------------------
 
@@ -137,10 +273,12 @@ class QuantCtx:
         weight_qparams: Dict[str, Optional[QParams]],
         act_qparams: Dict[str, Optional[QParams]],
         int8_dense: Optional[dict] = None,
+        grad_scaling: bool = False,
     ) -> "QuantCtx":
         ctx = cls("run", config)
         ctx.weight_qparams = weight_qparams
         ctx.act_qparams = act_qparams
+        ctx.grad_scaling = grad_scaling
         if int8_dense:
             ctx.int8_dense = dict(int8_dense)
         return ctx
@@ -156,7 +294,9 @@ class QuantCtx:
         qp = self.weight_qparams.get(name)
         if qp is None:
             return w
-        return fake_quant(w, qp, grad_scaling=False, per_channel=qp.delta.ndim > 0)
+        return fake_quant(
+            w, qp, grad_scaling=self.grad_scaling, per_channel=qp.delta.ndim > 0
+        )
 
     def act(self, name: str, x: Array) -> Array:
         """Activation quantization point (name carries its kind suffix)."""
@@ -169,15 +309,23 @@ class QuantCtx:
         if self.mode == "calibrate":
             state = self.est_state.get(name)
             if state is None:
-                state = _init_est_state()
+                state = (
+                    _init_mse_state(cfg, x)
+                    if cfg.estimator.lower() == "mse"
+                    else _init_est_state()
+                )
             state = _update_est_state(cfg, state, x)
             self.est_state[name] = state
-            qp = _qparams_from_state(cfg, state["lo"], state["hi"])
+            if cfg.estimator.lower() == "mse":
+                lo, hi = _mse_lo_hi(cfg, state)
+            else:
+                lo, hi = state["lo"], state["hi"]
+            qp = _qparams_from_state(cfg, lo, hi)
             return fake_quant(x, qp)
         qp = self.act_qparams.get(name)
         if qp is None:
             return x
-        return fake_quant(x, qp)
+        return fake_quant(x, qp, grad_scaling=self.grad_scaling)
 
     def scoped(self, prefix: str) -> "ScopedQuantCtx":
         return ScopedQuantCtx(self, prefix)
@@ -293,8 +441,12 @@ def freeze_act_qparams(
         if not cfg.enabled:
             out[name] = None
             continue
-        lo = jnp.asarray(jax.device_get(state["lo"]), jnp.float32)
-        hi = jnp.asarray(jax.device_get(state["hi"]), jnp.float32)
+        if "loss" in state:  # MSE grid state → accumulated-argmin range
+            lo, hi = _mse_lo_hi(cfg, state)
+        else:
+            lo, hi = state["lo"], state["hi"]
+        lo = jnp.asarray(jax.device_get(lo), jnp.float32)
+        hi = jnp.asarray(jax.device_get(hi), jnp.float32)
         if cfg.symmetric:
             out[name] = qparams_from_range_symmetric(lo, hi, n_bits=cfg.n_bits)
         else:

@@ -63,15 +63,22 @@ def fp8_cast_params(params: Any, min_ndim: int = 2) -> Any:
     e4m3 (weight matrices / conv kernels / embeddings; biases, LN params and
     scalars stay untouched). Returns a pytree of the same structure/dtypes.
 
-    Per-channel scales go on axis 0 — the out-features axis in this repo's
-    (out, in) Linear layout and the per-filter axis for patch-embed kernels,
-    matching the INT8 stack's ``per_channel_axis=0`` convention
-    (models/common.py:dense).
+    Per-channel scales go on the out-features axis: axis 0 for this repo's
+    (out, in) Linear layout (the INT8 stack's ``per_channel_axis=0``
+    convention, models/common.py:dense) — EXCEPT the ViT patch-embed kernel,
+    which is stored matmul-ready as (P*P*C, D) (models/vit.py:133-137) and so
+    carries its filters on axis 1; scaling it per axis 0 would be per input
+    row, coarser than quanto's per-filter qfloat8 granularity.
     """
 
-    def cast(x):
+    def cast(path, x):
         if x is None or not jnp.issubdtype(x.dtype, jnp.floating) or x.ndim < min_ndim:
             return x
-        return fp8_round_trip(x, per_channel_axis=0)
+        is_patch_embed = any(
+            getattr(p, "key", None) == "patch_embed" for p in path
+        )
+        return fp8_round_trip(x, per_channel_axis=1 if is_patch_embed else 0)
 
-    return jax.tree.map(cast, params, is_leaf=lambda x: x is None)
+    return jax.tree_util.tree_map_with_path(
+        cast, params, is_leaf=lambda x: x is None
+    )

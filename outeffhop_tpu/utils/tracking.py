@@ -68,6 +68,33 @@ class Tracker:
         if self._wandb:
             self._wandb.log(clean, step=step)
 
+    def log_histogram(self, name: str, values, step: int) -> None:
+        """Weight/activation histograms at log intervals — the reference's
+        `tb.add_histogram` telemetry (`run_mlm_ddp.py:617-641`). `values` is
+        any array-like; JSONL gets summary stats (min/max/mean/absmax) so the
+        histogram signal survives without a TB viewer."""
+        import numpy as np
+
+        arr = np.asarray(values, dtype=np.float32).ravel()
+        if self._jsonl:
+            self._jsonl.write(
+                json.dumps(
+                    {
+                        "step": step,
+                        f"{name}/min": float(arr.min()),
+                        f"{name}/max": float(arr.max()),
+                        f"{name}/mean": float(arr.mean()),
+                        f"{name}/inf_norm": float(np.abs(arr).max()),
+                    }
+                )
+                + "\n"
+            )
+            self._jsonl.flush()
+        if self._tb:
+            self._tb.add_histogram(name, arr, step)
+        if self._wandb:
+            self._wandb.log({name: self._wandb.Histogram(arr)}, step=step)
+
     def finish(self) -> None:
         if self._jsonl:
             self._jsonl.close()
@@ -80,6 +107,9 @@ class Tracker:
 
 class NullTracker:
     def log(self, metrics, step):
+        pass
+
+    def log_histogram(self, name, values, step):
         pass
 
     def finish(self):
