@@ -229,6 +229,8 @@ def opt_attention(
         new_past = (k_states, v_states)
     q_states = split_heads(q_states, n_heads)
 
+    from outeffhop_tpu.ops.flash import pallas_attention_worthwhile
+
     flash_ok = (
         use_flash
         and not decode_fast  # decode_fast skipped the KV concat: flash would
@@ -239,6 +241,11 @@ def opt_attention(
         and cfg.alpha is None
         and cfg.attn_gate_type == "none"
         and (deterministic or cfg.dropout == 0.0)
+        # measured crossover (results/probe12.log): XLA wins small score
+        # tensors (incl. single-token decode); Pallas wins 4.1x at B32xT512
+        and pallas_attention_worthwhile(
+            q_states.shape[0], n_heads, q_states.shape[2], k_states.shape[2]
+        )
     )
     if flash_ok:
         from outeffhop_tpu.ops.flash import flash_attention

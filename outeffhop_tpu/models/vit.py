@@ -219,12 +219,19 @@ def vit_attention(
     qs, ks, vs = jnp.split(qkv, 3, axis=-1)
     qs, ks, vs = (split_heads(t, n_heads) for t in (qs, ks, vs))
 
+    from outeffhop_tpu.ops.flash import pallas_attention_worthwhile
+
     flash_ok = (
         use_flash
         and not tape.enabled
         and not q.enabled
         and cfg.attn_softmax in ("vanilla", "softmax1")
         and (deterministic or cfg.attn_dropout == 0.0)
+        # measured crossover (results/probe12.log): the Pallas kernel wins
+        # 2.6x at ViT-base B64xT200; XLA wins below ~16M score elements
+        and pallas_attention_worthwhile(
+            qs.shape[0], n_heads, qs.shape[2], ks.shape[2]
+        )
     )
     if flash_ok:
         from outeffhop_tpu.ops.flash import flash_attention

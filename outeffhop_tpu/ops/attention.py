@@ -269,6 +269,11 @@ def attention_with_extras(
 
     is_cross = encoder_hidden_states is not None
 
+    from outeffhop_tpu.ops.flash import pallas_attention_worthwhile
+
+    t_kv_len = (encoder_hidden_states if is_cross else hidden_states).shape[1]
+    if past_key_value is not None and not is_cross:
+        t_kv_len += past_key_value[0].shape[2]
     flash_eligible = (
         use_flash
         and not tape.enabled
@@ -278,6 +283,11 @@ def attention_with_extras(
         and (deterministic or cfg.dropout_rate == 0.0)
         and cfg.softmax in ("vanilla", "softmax1")
         and cfg.alpha is None
+        # measured dispatch: below the crossover XLA's fused unblocked
+        # attention is faster than any Pallas kernel (results/probe12.log)
+        and pallas_attention_worthwhile(
+            hidden_states.shape[0], cfg.num_heads, hidden_states.shape[1], t_kv_len
+        )
     )
 
     # Packed fast path: q/k/v stay in the (B, T, H*D) layout the projections

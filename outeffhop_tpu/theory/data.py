@@ -82,6 +82,8 @@ def iterate_batches(
 def load_torchvision(name: str, root: str, train: bool = True):
     """Load a real dataset already present on disk (no download). Returns
     (images NCHW float32 normalized, labels int32)."""
+    if name == "tiny_imagenet":
+        return load_tiny_imagenet(root, train=train)
     import torch  # noqa: F401  (torchvision pulls torch)
     from torchvision import datasets, transforms  # type: ignore
 
@@ -98,3 +100,51 @@ def load_torchvision(name: str, root: str, train: bool = True):
         xs.append(np.asarray(img))
         ys.append(label)
     return np.stack(xs).astype(np.float32), np.asarray(ys, np.int32)
+
+
+def load_tiny_imagenet(root: str, train: bool = True):
+    """tiny-imagenet-200 from the standard on-disk layout
+    (`theory_verification/data.py:101-147`: wnids.txt id table, train/<wnid>/
+    *.JPEG, val/val_annotations.txt mapping). Grayscale JPEGs are skipped as
+    upstream does (`data.py:112-114,119-121`). Returns (NCHW float32
+    normalized, int32 labels)."""
+    import os
+
+    from PIL import Image  # bundled with torchvision
+
+    mean = np.asarray(NORMALIZE["tiny_imagenet"][0], np.float32).reshape(3, 1, 1)
+    std = np.asarray(NORMALIZE["tiny_imagenet"][1], np.float32).reshape(3, 1, 1)
+    path = os.path.join(root, "tiny-imagenet-200")
+    with open(os.path.join(path, "wnids.txt")) as f:
+        id_dict = {line.strip(): i for i, line in enumerate(f) if line.strip()}
+
+    xs, ys = [], []
+    if train:
+        for wnid, label in id_dict.items():
+            img_dir = os.path.join(path, "train", wnid, "images")
+            if not os.path.isdir(img_dir):
+                img_dir = os.path.join(path, "train", wnid)
+            for fname in sorted(os.listdir(img_dir)):
+                if not fname.endswith(".JPEG"):
+                    continue
+                arr = np.asarray(Image.open(os.path.join(img_dir, fname)))
+                if arr.ndim != 3:  # skip grayscale, as upstream does
+                    continue
+                xs.append(arr)
+                ys.append(label)
+    else:
+        val_dir = os.path.join(path, "val")
+        img_dir = os.path.join(val_dir, "images")
+        if not os.path.isdir(img_dir):
+            img_dir = val_dir
+        with open(os.path.join(val_dir, "val_annotations.txt")) as f:
+            for line in f:
+                img_name, class_id = line.split("\t")[:2]
+                arr = np.asarray(Image.open(os.path.join(img_dir, img_name)))
+                if arr.ndim != 3:
+                    continue
+                xs.append(arr)
+                ys.append(id_dict[class_id])
+    x = np.stack(xs).astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+    x = (x - mean) / std
+    return x, np.asarray(ys, np.int32)

@@ -111,10 +111,15 @@ def test_flash_cross_attention_shapes():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
-def test_bert_forward_with_flash_matches_xla_path():
+def test_bert_forward_with_flash_matches_xla_path(monkeypatch):
     from tests.test_bert import TINY, make_batch
     from outeffhop_tpu.models.bert import bert_mlm_forward, init_bert_params
+    from outeffhop_tpu.ops import flash as flash_mod
     import dataclasses
+
+    # tiny shapes are below the measured XLA/Pallas crossover — force the
+    # Pallas path so the kernel (not the XLA fallback) is what's compared
+    monkeypatch.setattr(flash_mod, "PALLAS_MIN_SCORE_ELEMS", 0)
 
     cfg = dataclasses.replace(TINY, attn_softmax="softmax1")
     params = init_bert_params(jax.random.PRNGKey(0), cfg)
@@ -125,6 +130,19 @@ def test_bert_forward_with_flash_matches_xla_path():
     with pltpu.force_tpu_interpret_mode():
         b = np.asarray(bert_mlm_forward(params, cfg, ids, mask, use_flash=True))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_short_shapes_auto_dispatch_to_xla():
+    """Below the measured crossover the in-model path must NOT call a Pallas
+    kernel (probe12: XLA wins B32xT128 by ~2x) — and above it, it must."""
+    from outeffhop_tpu.ops.flash import pallas_attention_worthwhile
+
+    assert not pallas_attention_worthwhile(32, 12, 128, 128)   # BERT headline
+    assert not pallas_attention_worthwhile(32, 12, 192, 192)
+    assert not pallas_attention_worthwhile(8, 12, 1, 512)      # decode step
+    assert pallas_attention_worthwhile(32, 12, 256, 256)
+    assert pallas_attention_worthwhile(64, 12, 200, 200)       # ViT-base B64
+    assert pallas_attention_worthwhile(32, 12, 512, 512)
 
 
 # ---------------------------------------------------------------------------
@@ -171,8 +189,11 @@ def test_bert_packed_flash_path_matches_xla(monkeypatch):
     encoder self-attention) must match the unfused XLA path, including gating."""
     from tests.test_bert import TINY, make_batch
     from outeffhop_tpu.models.bert import bert_mlm_forward, init_bert_params
+    from outeffhop_tpu.ops import flash as flash_mod
     from jax.experimental.pallas import tpu as pltpu
     import dataclasses
+
+    monkeypatch.setattr(flash_mod, "PALLAS_MIN_SCORE_ELEMS", 0)
 
     for gate in ("none", "unconditional_per_head", "conditional_per_token"):
         cfg = dataclasses.replace(
