@@ -27,7 +27,7 @@ def _sync(x):
     return float(jnp.sum(x).astype(jnp.float32))
 
 
-def _bench_scan(step_fn, ids0, lo=8, hi=40, repeats=3):
+def _bench_scan(step_fn, ids0, lo=8, hi=40, repeats=5):
     """Time forwards INSIDE one jitted lax.scan with an argmax feedback
     dependence (prevents loop hoisting), at two scan lengths, and return the
     SLOPE (t_hi - t_lo) / (hi - lo). Each dispatch through the remote-TPU

@@ -56,6 +56,12 @@ def add_quant_args(p: argparse.ArgumentParser):
     g.add_argument("--ranges_acts", type=str, default="running_minmax",
                    choices=["current_minmax", "running_minmax", "MSE"])
     g.add_argument("--percentile", type=float, default=None)
+    g.add_argument("--percentile_impl", type=str, default="exact",
+                   choices=["exact", "histogram"],
+                   help="exact = full-sort jnp.percentile (reference "
+                        "np.percentile semantics); histogram = fixed-bin CDF "
+                        "quantile, O(n) instead of a per-batch sort "
+                        "(error <= range/8192)")
     g.add_argument("--est_num_batches", type=int, default=16)
     g.add_argument("--quant_setup", type=str, default="all", choices=list(QUANT_SETUPS))
     g.add_argument("--per_channel", action="store_true", help="per-channel weight scales")
@@ -153,6 +159,11 @@ def quant_config_from_args(args) -> QuantizedModelConfig:
         per_channel_weights=args.per_channel,
         act_method=args.qmethod_acts,
         act_range_method=args.ranges_acts,
+        act_range_options=(
+            {"percentile_impl": "histogram"}
+            if args.percentile_impl == "histogram"
+            else {}
+        ),
         percentile=args.percentile,
         quant_setup=args.quant_setup,
         est_num_batches=args.est_num_batches,

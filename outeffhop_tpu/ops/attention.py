@@ -265,9 +265,13 @@ def attention_with_extras(
         return jnp.zeros_like(hidden_states), None, None
 
     n_heads = cfg.num_heads
-    mixed_q = common.dense(params["query"], hidden_states, q, "query")
-
     is_cross = encoder_hidden_states is not None
+
+    # NOTE on QKV fusion: concatenating the three projection weights into one
+    # (H, 3H) matmul was tried and MEASURED SLOWER end-to-end on v5e (bench
+    # vs_baseline 0.96 — XLA materializes the split copies and does not hoist
+    # the weight concat out of scan loops). Three separate denses it is.
+    mixed_q = common.dense(params["query"], hidden_states, q, "query")
 
     from outeffhop_tpu.ops.flash import pallas_attention_worthwhile
 

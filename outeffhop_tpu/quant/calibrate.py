@@ -57,15 +57,47 @@ def _init_est_state() -> EstState:
     )
 
 
+def _histogram_quantile_pair(
+    x: Array, p_lo: float, p_hi: float, bins: int = 8192
+) -> Tuple[Array, Array]:
+    """Two-sided quantiles from a fixed-bin histogram CDF with in-bin linear
+    interpolation — the TPU-friendly percentile (SURVEY §7: the reference's
+    `np.percentile` is a full sort of the whole tensor per batch,
+    `range_estimators.py:62-69`). Worst-case error is one bin width,
+    (max-min)/bins — with 8192 bins that is 0.012% of the dynamic range,
+    far below the int8 grid step of ~0.4% (tested in tests/test_calibrate)."""
+    xf = x.reshape(-1)
+    lo = jnp.min(xf)
+    hi = jnp.max(xf)
+    width = jnp.maximum(hi - lo, 1e-12)
+    idx = jnp.clip(((xf - lo) / width * bins).astype(jnp.int32), 0, bins - 1)
+    hist = jnp.zeros((bins,), jnp.float32).at[idx].add(1.0)
+    cdf = jnp.cumsum(hist) / xf.size
+
+    def q_at(p):
+        i = jnp.clip(jnp.searchsorted(cdf, p), 0, bins - 1)
+        c_prev = jnp.where(i > 0, cdf[jnp.maximum(i - 1, 0)], 0.0)
+        frac = jnp.clip((p - c_prev) / jnp.maximum(cdf[i] - c_prev, 1e-12), 0.0, 1.0)
+        return lo + (i.astype(jnp.float32) + frac) * (width / bins)
+
+    return q_at(p_lo / 100.0), q_at(p_hi / 100.0)
+
+
 def _batch_lo_hi(cfg: SiteCfg, x: Array) -> Tuple[Array, Array]:
     x = x.astype(jnp.float32)
     pct = cfg.estimator_kw.get("percentile")
     if pct:
         if cfg.estimator == "running_minmax":
             # (100-p, p) convention, p like 99.999 (range_estimators.py:89-94)
-            return jnp.percentile(x, 100.0 - pct), jnp.percentile(x, pct)
-        # current_minmax convention: (p, 100-p), p like 0.01 (:62-69)
-        return jnp.percentile(x, pct), jnp.percentile(x, 100.0 - pct)
+            p_lo, p_hi = 100.0 - pct, pct
+        else:
+            # current_minmax convention: (p, 100-p), p like 0.01 (:62-69)
+            p_lo, p_hi = pct, 100.0 - pct
+        if cfg.estimator_kw.get("percentile_impl", "exact") == "histogram":
+            return _histogram_quantile_pair(
+                x, p_lo, p_hi, bins=int(cfg.estimator_kw.get("percentile_bins", 8192))
+            )
+        return jnp.percentile(x, p_lo), jnp.percentile(x, p_hi)
     return jnp.min(x), jnp.max(x)
 
 

@@ -2,7 +2,6 @@
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=2
-mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
 health() {
   timeout 70 python -c "
@@ -11,14 +10,13 @@ jax.jit(lambda a: a@a)(jnp.ones((128,128))).block_until_ready()
 " > /dev/null 2>&1
 }
 
-run_task() {  # name cmd timeout_secs
+run_task() {
   local name=$1 cmd=$2 tmo=$3
   for attempt in 1 2 3 4 5 6; do
     if health; then
       echo "[$(date +%H:%M:%S)] running $name (attempt $attempt)"
       if timeout "$tmo" bash -c "$cmd" > "results/${name}.log" 2>&1; then
-        echo "[$(date +%H:%M:%S)] $name DONE"
-        return 0
+        echo "[$(date +%H:%M:%S)] $name DONE"; return 0
       fi
       echo "[$(date +%H:%M:%S)] $name failed/timeout (attempt $attempt)"
     else
@@ -26,11 +24,9 @@ run_task() {  # name cmd timeout_secs
     fi
     sleep 60
   done
-  echo "[$(date +%H:%M:%S)] $name GAVE UP"
-  return 1
+  echo "[$(date +%H:%M:%S)] $name GAVE UP"; return 1
 }
 
-run_task bench_r3 "python bench.py" 900
-run_task probe10_int8 "PYTHONUNBUFFERED=1 python results/perf_probe10.py bert big" 900
-run_task probe11_longseq "PYTHONUNBUFFERED=1 python results/perf_probe11.py" 900
-echo "[$(date +%H:%M:%S)] queue complete"
+run_task bench_r3b "python bench.py" 900
+run_task probe13_int8_e2e "PYTHONUNBUFFERED=1 python results/perf_probe13.py" 900
+echo "[$(date +%H:%M:%S)] queue2 complete"

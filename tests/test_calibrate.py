@@ -137,3 +137,46 @@ def test_per_channel_weight_qparams():
     config = QuantizedModelConfig(per_channel_weights=True)
     params, batches, wq, aq, _ = run_pipeline(config)
     assert wq["fc1|w"].delta.shape == (16, 1)
+
+
+def test_histogram_percentile_matches_exact_within_tolerance():
+    """The O(n) histogram quantile (--percentile_impl histogram) must agree
+    with the exact full-sort percentile to within one bin width of the
+    dynamic range (SURVEY §7 percentile tolerance story)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from outeffhop_tpu.quant.calibrate import _batch_lo_hi
+    from outeffhop_tpu.quant.config import SiteCfg
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.concatenate([
+        rng.normal(size=100_000), rng.normal(size=50) * 30.0  # outlier tail
+    ]).astype(np.float32))
+    for pct, est in [(99.999, "running_minmax"), (0.01, "current_minmax")]:
+        exact_cfg = SiteCfg(enabled=True, estimator=est,
+                            estimator_kw={"percentile": pct})
+        hist_cfg = SiteCfg(enabled=True, estimator=est,
+                           estimator_kw={"percentile": pct,
+                                         "percentile_impl": "histogram"})
+        lo_e, hi_e = _batch_lo_hi(exact_cfg, x)
+        lo_h, hi_h = _batch_lo_hi(hist_cfg, x)
+        span = float(jnp.max(x) - jnp.min(x))
+        tol = span / 8192 * 1.5
+        assert abs(float(lo_e) - float(lo_h)) < tol, (pct, est)
+        assert abs(float(hi_e) - float(hi_h)) < tol, (pct, est)
+
+
+def test_histogram_percentile_in_driver(tmp_path):
+    from outeffhop_tpu.drivers.validate_clm import main
+
+    res = main([
+        "--quantize", "--quant_setup", "fp32_head", "--percentile", "99.999",
+        "--percentile_impl", "histogram",
+        "--est_num_batches", "2", "--per_device_eval_batch_size", "2",
+        "--synthetic_tokens", "6000", "--block_size", "64",
+        "--num_hidden_layers", "2", "--attn_softmax", "softmax1",
+    ])
+    import numpy as np
+    assert np.isfinite(res["int8_perplexity"])
+    assert abs(res["delta_perplexity"]) / res["perplexity"] < 0.05
