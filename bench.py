@@ -80,12 +80,20 @@ def main():
         hidden_dropout_prob=0.0,
         attention_probs_dropout_prob=0.0,
     )
-    params = init_bert_params(jax.random.PRNGKey(0), cfg)
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x is not None and x.dtype == jnp.float32 else x,
-        params,
-        is_leaf=lambda x: x is None,
-    )
+    # ONE jitted init on the device: eager init costs a dispatch round trip
+    # per op (~100ms each through the remote tunnel — minutes for a model);
+    # a single compiled graph leaves bf16 params device-resident, so the
+    # benchmark jits capture on-device constants (no re-upload per compile).
+    @jax.jit
+    def make_params(key):
+        p = init_bert_params(key, cfg)
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x is not None and x.dtype == jnp.float32 else x,
+            p,
+            is_leaf=lambda x: x is None,
+        )
+
+    params = make_params(jax.random.PRNGKey(0))
     rs = np.random.RandomState(0)
     input_ids = jnp.asarray(rs.randint(0, cfg.vocab_size, (batch, seq)), jnp.int32)
     mask = jnp.ones((batch, seq), jnp.int32)

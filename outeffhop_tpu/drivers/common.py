@@ -44,8 +44,9 @@ def build_quant_ctx(
     weight to Int8Dense so those matmuls run as real int8×int8→int32 MXU ops
     (quant/int8_exec.py) instead of the fake-quant simulation."""
     calib_batches = list(calib_batches)
-    ctx = QuantCtx.discover(config)
-    forward_with_qctx(calib_batches[0], ScopedQuantCtx(ctx, ""))
+    # discovery is a trace (jax.eval_shape) — site recording happens at trace
+    # time with no device execution (QuantCtx.trace_discovery)
+    ctx = QuantCtx.trace_discovery(config, forward_with_qctx, calib_batches[0])
     wq = compute_weight_qparams(ctx.discovered_weights, config)
     est = run_calibration(forward_with_qctx, config, wq, calib_batches)
     aq = freeze_act_qparams(est, config)

@@ -287,6 +287,32 @@ class QuantCtx:
         return cls("discover", config)
 
     @classmethod
+    def trace_discovery(
+        cls, config: QuantizedModelConfig, forward_with_qctx, batch
+    ) -> "QuantCtx":
+        """Discovery as a TRACE, not an execution. Site recording is a Python
+        side effect of running the forward, so `jax.eval_shape` over abstract
+        batch inputs performs it with ZERO device computation — the recorded
+        weight leaves stay concrete because the params are closed over by
+        `forward_with_qctx`, untouched before their `q.weight(...)` call
+        (see `weight()` above: discover mode records the array verbatim).
+
+        This replaces the reference's dummy-forward re-materialization
+        (`base_quantized_model.py:74-79`), which executes a real forward. On
+        an accelerator behind a high-latency link an eager dummy forward
+        costs one dispatch round trip per op; the trace costs none.
+        """
+        ctx = cls("discover", config)
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            batch,
+        )
+        jax.eval_shape(
+            lambda b: forward_with_qctx(b, ScopedQuantCtx(ctx, "")), abstract
+        )
+        return ctx
+
+    @classmethod
     def calibrate(
         cls,
         config: QuantizedModelConfig,

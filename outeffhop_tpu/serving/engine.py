@@ -111,9 +111,13 @@ def make_int8_weight_ctx(params, cfg: OPTConfig):
         quantize_acts=False,
         quant_setup="fp32_head",  # LM head / embeddings stay float
     )
-    ctx = QuantCtx.discover(qcfg)
+    # discovery is a trace (jax.eval_shape): site recording with zero device
+    # execution — matters behind high-latency links where an eager dummy
+    # forward pays a dispatch round trip per op
     dummy = jnp.zeros((1, 2), jnp.int32)
-    opt_forward(params, cfg, dummy, q=ctx.scoped(""))
+    ctx = QuantCtx.trace_discovery(
+        qcfg, lambda b, q: opt_forward(params, cfg, b, q=q), dummy
+    )
     wq = compute_weight_qparams(ctx.discovered_weights, qcfg)
     int8_map = build_int8_dense_map(ctx.discovered_weights, wq)
     # keep only sites executed through common.dense's int8_for dispatch;

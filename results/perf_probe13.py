@@ -54,20 +54,34 @@ def main():
         hidden_dropout_prob=0.0,
         attention_probs_dropout_prob=0.0,
     )
-    params = init_bert_params(jax.random.PRNGKey(0), cfg)
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x is not None and x.dtype == jnp.float32 else x,
-        params, is_leaf=lambda x: x is None,
-    )
+    # ONE jitted init on the device (eager init = a tunnel round trip per op;
+    # host-resident params = hundreds of MB of executable constants uploaded
+    # per benchmark compile — both measured pathological, see CLAUDE.md)
+    @jax.jit
+    def make_params(key):
+        p = init_bert_params(key, cfg)
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x is not None and x.dtype == jnp.float32 else x,
+            p, is_leaf=lambda x: x is None,
+        )
+
+    params = make_params(jax.random.PRNGKey(0))
     rs = np.random.RandomState(0)
     ids = jnp.asarray(rs.randint(0, cfg.vocab_size, (batch, seq)), jnp.int32)
     mask = jnp.ones((batch, seq), jnp.int32)
 
     # discover dense sites + freeze int8 weights (weights-only: act sites off,
-    # so the flash/XLA attention fast paths stay on — the serving config)
+    # so the flash/XLA attention fast paths stay on — the serving config).
+    # Discovery runs EAGERLY (python-side site recording), so pin it to the
+    # in-process CPU device — through the remote tunnel each of the ~hundreds
+    # of eager ops costs ~100ms of dispatch latency and the probe times out.
     qcfg = default_quant_config(quantize_acts=False, per_channel_weights=True)
-    dctx = QuantCtx.discover(qcfg)
-    bert_mlm_forward(params, cfg, ids[:1], mask[:1], q=ScopedQuantCtx(dctx, ""))
+    # trace-based discovery: zero device execution (QuantCtx.trace_discovery)
+    dctx = QuantCtx.trace_discovery(
+        qcfg,
+        lambda b, q: bert_mlm_forward(params, cfg, b, mask[:1], q=q),
+        ids[:1],
+    )
     wq = compute_weight_qparams(dctx.discovered_weights, qcfg)
     int8_map = build_int8_dense_map(dctx.discovered_weights, wq)
     print(f"int8 dense sites: {len(int8_map)}", flush=True)

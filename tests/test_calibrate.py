@@ -180,3 +180,35 @@ def test_histogram_percentile_in_driver(tmp_path):
     import numpy as np
     assert np.isfinite(res["int8_perplexity"])
     assert abs(res["delta_perplexity"]) / res["perplexity"] < 0.05
+
+
+def test_trace_discovery_matches_eager_and_runs_nothing():
+    """QuantCtx.trace_discovery must record exactly the sites an eager
+    discovery forward records — with CONCRETE weight leaves (closed-over
+    params survive jax.eval_shape untouched) and zero device execution."""
+    config = QuantizedModelConfig()
+    params, batches = make_toy()
+
+    eager = QuantCtx.discover(config)
+    toy_forward(params, batches[0], ScopedQuantCtx(eager, ""))
+
+    calls = {"n": 0}
+
+    def counting_forward(b, q):
+        calls["n"] += 1
+        return toy_forward(params, b, q)
+
+    traced = QuantCtx.trace_discovery(config, counting_forward, batches[0])
+    assert calls["n"] == 1
+    assert set(traced.discovered_weights) == set(eager.discovered_weights)
+    assert set(traced.discovered_acts) == set(eager.discovered_acts)
+    for name, (w, ax) in traced.discovered_weights.items():
+        assert isinstance(w, jax.Array), f"{name} recorded a tracer, not a value"
+        ew, eax = eager.discovered_weights[name]
+        assert ax == eax
+        assert jnp.array_equal(w, ew)
+    # downstream qparams must be identical
+    wq_t = compute_weight_qparams(traced.discovered_weights, config)
+    wq_e = compute_weight_qparams(eager.discovered_weights, config)
+    for k in wq_e:
+        assert jnp.array_equal(wq_t[k].delta, wq_e[k].delta)
