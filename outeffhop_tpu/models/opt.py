@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,46 @@ from outeffhop_tpu.quant.calibrate import NULL_QCTX, ScopedQuantCtx
 Array = jax.Array
 
 POS_OFFSET = 2  # OPT's learned positional embedding offset
+
+
+class Int8KV(NamedTuple):
+    """INT8-quantized KV cache block with per-token-per-head scales.
+
+    Decode is KV-cache-bandwidth-bound (BASELINE.md serving table); storing
+    the cache as int8 halves its HBM traffic. The dequantization is EXACT and
+    free of extra memory traffic because the per-token scales commute with
+    the attention matmuls:
+
+        scores[q,t] = (Q @ K_int8^T)[q,t] * k_scale[t]       (after QK^T)
+        context     = (probs * v_scale[t]) @ V_int8          (before PV)
+
+    so the int8 tensors are read directly by the matmuls (XLA fuses the
+    int8→bf16 convert into the dot operand) and the f32 scale vectors are
+    O(T·H) — negligible. New capability beyond the reference (whose KV cache
+    is whatever HF OPT does, fp16 — `modeling_opt` via `run_clm.py:216`).
+    """
+
+    k: Array  # (B, H, T, D) int8
+    v: Array  # (B, H, T, D) int8
+    k_scale: Array  # (B, H, T) f32
+    v_scale: Array  # (B, H, T) f32
+
+
+def quantize_kv(k: Array, v: Array) -> Int8KV:
+    """Per-token-per-head symmetric int8 quantization of K/V blocks
+    ((B, H, T, D) → Int8KV)."""
+
+    def q1(x):
+        scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+        scale = jnp.maximum(scale, 1e-8)
+        xi = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+        ).astype(jnp.int8)
+        return xi, scale
+
+    ki, ks = q1(k)
+    vi, vs = q1(v)
+    return Int8KV(ki, vi, ks, vs)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -219,6 +259,11 @@ def opt_attention(
         and not q.act_sites_enabled
         and (deterministic or cfg.dropout == 0.0)
     )
+    if isinstance(past_key_value, Int8KV) and not decode_fast:
+        raise ValueError(
+            "Int8KV past requires the single-token decode_fast path "
+            "(got decode_fast=False or a multi-token query)"
+        )
     if decode_fast:
         new_past = (k_states, v_states)
     elif past_key_value is not None:
@@ -260,7 +305,17 @@ def opt_attention(
             causal=q_states.shape[2] > 1,
         )
     elif decode_fast:
-        scores_past = jnp.einsum("bhqd,bhkd->bhqk", q_states, past_key_value[0])
+        kv_int8 = isinstance(past_key_value, Int8KV)
+        past_k = (
+            past_key_value.k.astype(q_states.dtype) if kv_int8 else past_key_value[0]
+        )
+        scores_past = jnp.einsum("bhqd,bhkd->bhqk", q_states, past_k)
+        if kv_int8:
+            # exact dequant AFTER the matmul: per-key-token scales commute
+            # with the contraction over D (Int8KV docstring). The int8→bf16
+            # convert on the K operand fuses into the dot's operand stream —
+            # the cache is read from HBM as int8 (half the decode traffic).
+            scores_past = scores_past * past_key_value.k_scale[:, :, None, :]
         scores_cur = jnp.einsum("bhqd,bhkd->bhqk", q_states, k_states)
         scores = jnp.concatenate([scores_past, scores_cur], axis=-1)
         if attention_mask is not None:
@@ -269,9 +324,19 @@ def opt_attention(
         probs = cfg.softmax_fn()(scores.astype(jnp.float32), axis=-1).astype(
             v_states.dtype  # not scores.dtype: the f32 mask add must not
         )  # promote the context (and all downstream matmuls) to f32
-        s_len = past_key_value[0].shape[2]
+        s_len = past_k.shape[2]
+        probs_past = probs[..., :s_len]
+        if kv_int8:
+            # exact dequant BEFORE the matmul: per-value-token scales applied
+            # to the (tiny) probs row, so V_int8 is read directly by the dot
+            probs_past = probs_past * past_key_value.v_scale[:, :, None, :].astype(
+                probs_past.dtype
+            )
+            past_v = past_key_value.v.astype(v_states.dtype)
+        else:
+            past_v = past_key_value[1]
         context = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs[..., :s_len], past_key_value[1]
+            "bhqk,bhkd->bhqd", probs_past, past_v
         ) + probs[..., s_len:] * v_states  # (B,H,1,1) * (B,H,1,D)
     else:
         scores = jnp.einsum("bhqd,bhkd->bhqk", q_states, k_states)

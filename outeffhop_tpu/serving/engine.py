@@ -35,8 +35,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from outeffhop_tpu.models.opt import (
+    Int8KV,
     OPTConfig,
     opt_forward,
+    quantize_kv,
 )
 
 Array = jax.Array
@@ -51,22 +53,30 @@ class EngineConfig:
     pad_token_id: int = 1
     temperature: float = 0.0  # 0 → greedy
     top_k: int = 0  # 0 → full distribution
+    # INT8 KV cache (models/opt.py:Int8KV): halves the decode step's dominant
+    # HBM traffic (the cache read) at the cost of per-token-per-head
+    # symmetric quantization of K/V at write time. Exact-dequant scales are
+    # folded around the attention matmuls — no extra cache traffic.
+    kv_int8: bool = False
 
 
 @dataclasses.dataclass
 class EngineState:
     """Device-resident slot pool (a pytree)."""
 
-    cache_k: Array  # (L, slots, H, max_seq, D)
+    cache_k: Array  # (L, slots, H, max_seq, D) — int8 when kv_int8
     cache_v: Array  # (L, slots, H, max_seq, D)
     tokens: Array  # (slots, max_seq) int32
     lengths: Array  # (slots,) int32 — tokens materialized so far
     active: Array  # (slots,) bool
+    scale_k: Optional[Array] = None  # (L, slots, H, max_seq) f32 when kv_int8
+    scale_v: Optional[Array] = None
 
 
 jax.tree_util.register_dataclass(
     EngineState,
-    data_fields=["cache_k", "cache_v", "tokens", "lengths", "active"],
+    data_fields=["cache_k", "cache_v", "tokens", "lengths", "active",
+                 "scale_k", "scale_v"],
     meta_fields=[],
 )
 
@@ -74,12 +84,23 @@ jax.tree_util.register_dataclass(
 def init_state(cfg: OPTConfig, ecfg: EngineConfig, dtype=jnp.float32) -> EngineState:
     L, S = cfg.num_hidden_layers, ecfg.max_slots
     H, D = cfg.num_attention_heads, cfg.head_dim
+    kv_dtype = jnp.int8 if ecfg.kv_int8 else dtype
+
+    def scale_pool():  # distinct buffers: donated states reject aliased args
+        return (
+            jnp.full((L, S, H, ecfg.max_seq), 1e-8, jnp.float32)
+            if ecfg.kv_int8
+            else None
+        )
+
     return EngineState(
-        cache_k=jnp.zeros((L, S, H, ecfg.max_seq, D), dtype),
-        cache_v=jnp.zeros((L, S, H, ecfg.max_seq, D), dtype),
+        cache_k=jnp.zeros((L, S, H, ecfg.max_seq, D), kv_dtype),
+        cache_v=jnp.zeros((L, S, H, ecfg.max_seq, D), kv_dtype),
         tokens=jnp.full((S, ecfg.max_seq), ecfg.pad_token_id, jnp.int32),
         lengths=jnp.zeros((S,), jnp.int32),
         active=jnp.zeros((S,), bool),
+        scale_k=scale_pool(),
+        scale_v=scale_pool(),
     )
 
 
@@ -154,9 +175,18 @@ def make_prefill(cfg: OPTConfig, ecfg: EngineConfig, qctx=None):
         first_tok = _sample(last[None, :], rng, ecfg.temperature, ecfg.top_k)[0]
 
         ck, cv = state.cache_k, state.cache_v
+        sk, sv = state.scale_k, state.scale_v
         # write per-layer prompt K/V into this slot's cache rows
-        new_k = jnp.stack([k.astype(ck.dtype)[0] for k, _ in past])  # (L, H, P, D)
-        new_v = jnp.stack([v.astype(cv.dtype)[0] for _, v in past])
+        new_k = jnp.stack([k[0] for k, _ in past])  # (L, H, P, D)
+        new_v = jnp.stack([v[0] for _, v in past])
+        if ecfg.kv_int8:
+            q8 = quantize_kv(new_k, new_v)  # leading L acts as batch
+            new_k, new_v = q8.k, q8.v
+            sk = jax.lax.dynamic_update_slice(sk, q8.k_scale[:, None], (0, slot, 0, 0))
+            sv = jax.lax.dynamic_update_slice(sv, q8.v_scale[:, None], (0, slot, 0, 0))
+        else:
+            new_k = new_k.astype(ck.dtype)
+            new_v = new_v.astype(cv.dtype)
         ck = jax.lax.dynamic_update_slice(
             ck, new_k[:, None], (0, slot, 0, 0, 0)
         )
@@ -172,7 +202,7 @@ def make_prefill(cfg: OPTConfig, ecfg: EngineConfig, qctx=None):
         active = state.active.at[slot].set(
             (first_tok != ecfg.eos_token_id) & (prompt_len + 1 < ecfg.max_seq)
         )
-        return EngineState(ck, cv, tokens, lengths, active)
+        return EngineState(ck, cv, tokens, lengths, active, sk, sv)
 
     return prefill
 
@@ -203,9 +233,18 @@ def _decode_body(cfg: OPTConfig, ecfg: EngineConfig, params, state: EngineState,
     ).astype(jnp.int32)
     attn_mask = jnp.concatenate([past_valid, jnp.ones((S, 1), jnp.int32)], axis=1)
 
-    past_list = [
-        (state.cache_k[l, :, :, :B], state.cache_v[l, :, :, :B]) for l in range(L)
-    ]
+    if ecfg.kv_int8:
+        past_list = [
+            Int8KV(
+                state.cache_k[l, :, :, :B], state.cache_v[l, :, :, :B],
+                state.scale_k[l, :, :, :B], state.scale_v[l, :, :, :B],
+            )
+            for l in range(L)
+        ]
+    else:
+        past_list = [
+            (state.cache_k[l, :, :, :B], state.cache_v[l, :, :, :B]) for l in range(L)
+        ]
     logits, new_past = opt_forward(
         params, cfg, cur, attn_mask, past_key_values=past_list, decode_fast=True,
         q=qctx,
@@ -216,14 +255,25 @@ def _decode_body(cfg: OPTConfig, ecfg: EngineConfig, params, state: EngineState,
         # cache_row (H, max_seq, D) ← kv_row (H, 1, D) at [:, pos, :]
         return jax.lax.dynamic_update_slice(cache_row, kv_row, (0, pos, 0))
 
+    def write_scale(scale_row, s_val, pos):
+        # scale_row (H, max_seq) ← s_val (H, 1) at [:, pos]
+        return jax.lax.dynamic_update_slice(scale_row, s_val, (0, pos))
+
     ck, cv = state.cache_k, state.cache_v
+    sk, sv = state.scale_k, state.scale_v
     for l, (k_l, v_l) in enumerate(new_past):
-        ck = ck.at[l].set(
-            jax.vmap(write_slot)(ck[l], k_l[:, :, -1:].astype(ck.dtype), len_km1)
-        )
-        cv = cv.at[l].set(
-            jax.vmap(write_slot)(cv[l], v_l[:, :, -1:].astype(cv.dtype), len_km1)
-        )
+        k_new, v_new = k_l[:, :, -1:], v_l[:, :, -1:]
+        if ecfg.kv_int8:
+            q8 = quantize_kv(k_new, v_new)
+            k_new, v_new = q8.k, q8.v
+            # q8.*_scale is (slots, H, 1): vmapped over slots → (H, 1)
+            sk = sk.at[l].set(jax.vmap(write_scale)(sk[l], q8.k_scale, len_km1))
+            sv = sv.at[l].set(jax.vmap(write_scale)(sv[l], q8.v_scale, len_km1))
+        else:
+            k_new = k_new.astype(ck.dtype)
+            v_new = v_new.astype(cv.dtype)
+        ck = ck.at[l].set(jax.vmap(write_slot)(ck[l], k_new, len_km1))
+        cv = cv.at[l].set(jax.vmap(write_slot)(cv[l], v_new, len_km1))
 
     nxt = _sample(logits[:, -1], rng, ecfg.temperature, ecfg.top_k)
     nxt = jnp.where(state.active, nxt, ecfg.pad_token_id)
@@ -240,7 +290,7 @@ def _decode_body(cfg: OPTConfig, ecfg: EngineConfig, params, state: EngineState,
         & (nxt != ecfg.eos_token_id)
         & (lengths < ecfg.max_seq)
     )
-    return EngineState(ck, cv, tokens, lengths, active)
+    return EngineState(ck, cv, tokens, lengths, active, sk, sv)
 
 
 def make_decode_step(cfg: OPTConfig, ecfg: EngineConfig, qctx=None):

@@ -32,3 +32,7 @@ run_task probe14_e2e_flash "PYTHONUNBUFFERED=1 python results/perf_probe14.py" 1
 run_task probe15_stanhop_prefill "PYTHONUNBUFFERED=1 python results/perf_probe15.py" 1200
 run_task bench_r3c "python bench.py" 900
 echo "[$(date +%H:%M:%S)] queue4 complete"
+run_task probe16_train "PYTHONUNBUFFERED=1 python results/perf_probe16.py" 1200
+echo "[$(date +%H:%M:%S)] queue4 complete (incl. appended probe16)"
+run_task probe17_kv_int8 "PYTHONUNBUFFERED=1 python results/perf_probe17.py" 1200
+echo "[$(date +%H:%M:%S)] queue4 complete (incl. probe17)"

@@ -181,3 +181,79 @@ def test_engine_chunked_decode_max_seq_cap_keeps_last_token(opt):
 
     np.testing.assert_array_equal(got, ref)
     assert got[-1] != ecfg.pad_token_id
+
+
+def test_quantize_kv_roundtrip_error():
+    from outeffhop_tpu.models.opt import quantize_kv
+
+    rng = np.random.RandomState(0)
+    k = jnp.asarray(rng.randn(2, 4, 8, 16).astype(np.float32) * 3)
+    v = jnp.asarray(rng.randn(2, 4, 8, 16).astype(np.float32) * 3)
+    q8 = quantize_kv(k, v)
+    assert q8.k.dtype == jnp.int8 and q8.k_scale.shape == (2, 4, 8)
+    deq = q8.k.astype(jnp.float32) * q8.k_scale[..., None]
+    # symmetric per-token-per-head grid: error bounded by scale/2
+    err = jnp.abs(deq - k)
+    assert float(jnp.max(err - q8.k_scale[..., None] / 2)) < 1e-5
+
+
+def test_int8kv_decode_matches_fp_attention(opt):
+    """opt_attention's decode_fast path with an Int8KV past must match the
+    same step with the exact fp past to int8-grid tolerance."""
+    from outeffhop_tpu.models.opt import opt_attention, quantize_kv
+
+    cfg, params = opt
+    rng = np.random.RandomState(1)
+    B, H, T, D = 2, cfg.num_attention_heads, 12, cfg.head_dim
+    past_k = jnp.asarray(rng.randn(B, H, T, D).astype(np.float32))
+    past_v = jnp.asarray(rng.randn(B, H, T, D).astype(np.float32))
+    x = jnp.asarray(rng.randn(B, 1, cfg.hidden_size).astype(np.float32))
+    lp = params["layers"][0]["attn"] if "attn" in params["layers"][0] else None
+    if lp is None:
+        lp = params["layers"][0]["self_attn"]
+    mask = jnp.zeros((B, 1, 1, T + 1), jnp.float32)
+
+    out_fp, _ = opt_attention(
+        lp, cfg, x, mask, past_key_value=(past_k, past_v), decode_fast=True
+    )
+    out_q8, _ = opt_attention(
+        lp, cfg, x, mask, past_key_value=quantize_kv(past_k, past_v),
+        decode_fast=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_q8), np.asarray(out_fp), rtol=0, atol=3e-2
+    )
+
+
+def test_int8kv_requires_decode_fast(opt):
+    from outeffhop_tpu.models.opt import opt_attention, quantize_kv
+
+    cfg, params = opt
+    lp = params["layers"][0].get("attn") or params["layers"][0]["self_attn"]
+    past = quantize_kv(jnp.ones((1, 2, 4, 16)), jnp.ones((1, 2, 4, 16)))
+    with pytest.raises(ValueError, match="decode_fast"):
+        opt_attention(
+            lp, cfg, jnp.zeros((1, 1, 32)), None, past_key_value=past,
+            decode_fast=False,
+        )
+
+
+def test_engine_kv_int8_matches_bf16_greedy(opt):
+    """The int8-KV engine must reproduce the fp-cache engine's greedy outputs
+    on a tiny model (per-token-per-head int8 K/V is far inside the decision
+    margin of argmax here) across slot reuse and chunked decode."""
+    cfg, params = opt
+    prompts = [np.random.RandomState(10 + i).randint(3, 120, 5 + i) for i in range(4)]
+
+    outs = {}
+    for kv_int8 in (False, True):
+        ecfg = EngineConfig(
+            max_slots=2, max_seq=48, max_prompt=16, eos_token_id=999,
+            kv_int8=kv_int8,
+        )
+        eng = ServingEngine(params, cfg, ecfg)
+        rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+        res = eng.run(decode_chunk=3)
+        outs[kv_int8] = [res[r] for r in rids]
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(a, b)
