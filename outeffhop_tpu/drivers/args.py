@@ -24,6 +24,11 @@ def add_model_args(p: argparse.ArgumentParser):
     g.add_argument("--num_attention_heads", type=int, default=None)
     g.add_argument("--intermediate_size", type=int, default=None)
     g.add_argument("--vocab_size", type=int, default=None)
+    g.add_argument("--attn_dropout", type=float, default=None,
+                   help="override attention-probs dropout (reference args.py "
+                        "surgery knob)")
+    g.add_argument("--hidden_dropout", type=float, default=None,
+                   help="override hidden dropout")
 
 
 def add_softmax_args(p: argparse.ArgumentParser):
@@ -99,6 +104,11 @@ def add_training_args(p: argparse.ArgumentParser):
     g.add_argument("--final_lr_fraction", type=float, default=0.0)
     g.add_argument("--gradient_accumulation_steps", type=int, default=1)
     g.add_argument("--max_grad_norm", type=float, default=1.0)
+    g.add_argument("--grad_norm_type", type=float, default=2.0,
+                   help="2.0 (L2, default) or inf — torch clip_grad_norm_'s "
+                        "norm_type")
+    g.add_argument("--lr_scheduler_type", type=str, default="linear",
+                   choices=["linear", "cosine", "constant"])
     g.add_argument("--per_device_train_batch_size", type=int, default=8)
     g.add_argument("--per_device_eval_batch_size", type=int, default=8)
     g.add_argument("--checkpointing_steps", type=str, default=None,
@@ -114,6 +124,11 @@ def add_training_args(p: argparse.ArgumentParser):
     g.add_argument("--tb_hist_log_interval", type=int, default=0,
                    help="log weight histograms + per-layer inf-norms every N "
                         "steps (0 = off; run_mlm_ddp.py:617-641)")
+    g.add_argument("--tb_scalar_log_interval", type=int, default=10,
+                   help="log train loss/lr scalars every N optimizer steps")
+    g.add_argument("--max_checkpointing_number", type=int, default=None,
+                   help="keep only the newest N checkpoints "
+                        "(accelerate total_limit, run_mlm.py:108-109)")
 
 
 def add_data_args(p: argparse.ArgumentParser):

@@ -25,7 +25,12 @@ from outeffhop_tpu.models.opt import init_opt_params, opt_forward
 from outeffhop_tpu.parallel import make_adamw, make_clm_train_step, make_mesh, shard_params
 from outeffhop_tpu.parallel.mesh import batch_pspec
 from outeffhop_tpu.parallel.train import init_train_state
-from outeffhop_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from outeffhop_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    prune_checkpoints,
+    restore_checkpoint,
+    save_checkpoint,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -68,6 +73,8 @@ def main(argv=None):
         final_lr_fraction=args.final_lr_fraction,
         clip_norm=args.max_grad_norm,
         accum_steps=args.gradient_accumulation_steps,
+        scheduler=args.lr_scheduler_type,
+        grad_norm_type=args.grad_norm_type,
     )
     state = init_train_state(params, tx)
     step_fn = make_clm_train_step(cfg, tx, mesh=mesh, use_flash=bool(args.use_flash))
@@ -107,6 +114,8 @@ def main(argv=None):
                 completed += 1
                 if ckpt_every and args.output_dir and completed % ckpt_every == 0:
                     save_checkpoint(args.output_dir, f"step_{completed}", state)
+                    if args.max_checkpointing_number:
+                        prune_checkpoints(args.output_dir, args.max_checkpointing_number)
                 if completed >= total_steps:
                     done = True
                     break

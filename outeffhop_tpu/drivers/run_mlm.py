@@ -32,7 +32,12 @@ from outeffhop_tpu.models.bert import bert_mlm_forward, init_bert_params, mlm_lo
 from outeffhop_tpu.parallel import make_adamw, make_mesh, make_mlm_train_step, shard_params
 from outeffhop_tpu.parallel.mesh import batch_pspec, put_batch
 from outeffhop_tpu.parallel.train import init_train_state
-from outeffhop_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from outeffhop_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    prune_checkpoints,
+    restore_checkpoint,
+    save_checkpoint,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -96,6 +101,8 @@ def main(argv=None):
         total_steps=total_steps,
         clip_norm=args.max_grad_norm,
         accum_steps=args.gradient_accumulation_steps,
+        scheduler=args.lr_scheduler_type,
+        grad_norm_type=args.grad_norm_type,
     )
     state = init_train_state(trainable, tx)
     step_fn = make_mlm_train_step(
@@ -135,7 +142,10 @@ def main(argv=None):
             losses.append(float(loss))
             if (global_micro + 1) % args.gradient_accumulation_steps == 0:
                 completed += 1
-                if completed % 10 == 0:
+                if (
+                    args.tb_scalar_log_interval
+                    and completed % args.tb_scalar_log_interval == 0
+                ):
                     tracker.log({"train/loss": losses[-1]}, completed)
                 if (
                     args.tb_hist_log_interval
@@ -159,6 +169,8 @@ def main(argv=None):
                         )
                 if ckpt_every and args.output_dir and completed % ckpt_every == 0:
                     save_checkpoint(args.output_dir, f"step_{completed}", state)
+                    if args.max_checkpointing_number:
+                        prune_checkpoints(args.output_dir, args.max_checkpointing_number)
                 if completed >= total_steps:
                     done = True
                     break

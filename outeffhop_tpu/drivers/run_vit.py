@@ -77,8 +77,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--model_ema", action="store_true")
     g.add_argument("--model_ema_decay", type=float, default=0.9998)
     g.add_argument("--warmup_epochs", type=int, default=0)
-    g.add_argument("--tb_scalar_log_interval", type=int, default=0,
-                   help="telemetry print every N steps (0 = off)")
+    # --tb_scalar_log_interval comes from add_training_args
     return p
 
 

@@ -53,7 +53,7 @@ def opt_config_from_args(args) -> OPTConfig:
         attn_gate_mlp2=args.attn_gate_mlp2,
         attn_gate_linear_all_features=args.attn_gate_linear_all_features,
         fine_tuning=args.fine_tuning,
-        dropout=0.0,
+        dropout=args.hidden_dropout if args.hidden_dropout is not None else 0.0,
         do_layer_norm_before=not args.no_layer_norm_before,
     )
     if args.config_yaml:

@@ -57,8 +57,12 @@ def bert_config_from_args(args) -> BertConfig:
         attn_gate_mlp2=args.attn_gate_mlp2,
         attn_gate_linear_all_features=args.attn_gate_linear_all_features,
         fine_tuning=args.fine_tuning,
-        hidden_dropout_prob=0.0,
-        attention_probs_dropout_prob=0.0,
+        hidden_dropout_prob=(
+            args.hidden_dropout if args.hidden_dropout is not None else 0.0
+        ),
+        attention_probs_dropout_prob=(
+            args.attn_dropout if args.attn_dropout is not None else 0.0
+        ),
     )
     if args.config_yaml:
         import yaml

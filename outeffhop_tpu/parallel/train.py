@@ -88,6 +88,23 @@ def linear_schedule_with_stretch(
     return schedule
 
 
+def _clip_by_global_inf_norm(max_norm: float) -> optax.GradientTransformation:
+    """torch.nn.utils.clip_grad_norm_(norm_type=inf) equivalent: scale all
+    grads by max_norm / max(|g|) when the global max-abs exceeds max_norm."""
+
+    def update(updates, state, params=None):
+        del params
+        g_norm = jax.tree.reduce(
+            jnp.maximum,
+            jax.tree.map(lambda g: jnp.max(jnp.abs(g)), updates),
+            jnp.asarray(0.0),
+        )
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(g_norm, 1e-16))
+        return jax.tree.map(lambda g: g * scale, updates), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update)
+
+
 def make_adamw(
     params,
     lr: float = 1e-4,
@@ -100,11 +117,37 @@ def make_adamw(
     final_lr_fraction: float = 0.0,
     clip_norm: Optional[float] = 1.0,
     accum_steps: int = 1,
+    scheduler: str = "linear",
+    grad_norm_type: float = 2.0,
 ) -> optax.GradientTransformation:
-    sched = linear_schedule_with_stretch(lr, warmup_steps, total_steps, final_lr_fraction)
+    """`scheduler` ∈ {linear, cosine, constant} (`--lr_scheduler_type`,
+    reference args.py); `grad_norm_type` 2.0 or inf (`--grad_norm_type`,
+    torch clip_grad_norm_'s norm_type)."""
+    if scheduler == "linear":
+        sched = linear_schedule_with_stretch(
+            lr, warmup_steps, total_steps, final_lr_fraction
+        )
+    elif scheduler == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr, warmup_steps=max(warmup_steps, 1),
+            decay_steps=max(total_steps, warmup_steps + 1),
+            end_value=lr * final_lr_fraction,
+        )
+    elif scheduler == "constant":
+        warm = optax.linear_schedule(0.0, lr, max(warmup_steps, 1))
+        sched = optax.join_schedules(
+            [warm, optax.constant_schedule(lr)], [max(warmup_steps, 1)]
+        )
+    else:
+        raise ValueError(f"unknown scheduler {scheduler!r} (linear|cosine|constant)")
     chain = []
     if clip_norm is not None:
-        chain.append(optax.clip_by_global_norm(clip_norm))
+        if grad_norm_type == float("inf"):
+            chain.append(_clip_by_global_inf_norm(clip_norm))
+        elif grad_norm_type == 2.0:
+            chain.append(optax.clip_by_global_norm(clip_norm))
+        else:
+            raise ValueError("grad_norm_type must be 2.0 or inf")
     chain.append(
         optax.adamw(
             sched,

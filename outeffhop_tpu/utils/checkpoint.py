@@ -93,6 +93,28 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[Tuple[str, str, int]]:
     return best
 
 
+def prune_checkpoints(ckpt_dir: str, keep: int) -> list:
+    """Keep only the newest `keep` step_/epoch_ checkpoints
+    (`--max_checkpointing_number`; the reference's accelerate
+    `project_configuration.total_limit`, `run_mlm.py:108-109`). Returns the
+    removed paths."""
+    import shutil
+
+    if not os.path.isdir(ckpt_dir) or keep is None or keep <= 0:
+        return []
+    found = []
+    for d in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"(step|epoch)_(\d+)", d)
+        if m:
+            found.append((int(m.group(2)), os.path.join(ckpt_dir, d)))
+    found.sort()
+    removed = []
+    for _, path in found[:-keep] if keep < len(found) else []:
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
+    return removed
+
+
 def save_run_config(path: str, args: dict) -> None:
     """args.json for reproducible eval (`exp_stanhop.py:203-207`)."""
     with open(path, "w") as f:

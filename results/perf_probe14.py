@@ -107,6 +107,14 @@ def opt_probe():
 
 
 if __name__ == "__main__":
+    import sys
+
     print("backend:", jax.default_backend(), jax.devices()[0].device_kind, flush=True)
-    vit_probe()
-    opt_probe()
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    # compiles through the tunnel are slow and NOT served by the persistent
+    # cache (remote PJRT); run one model family per task so each fits its
+    # timeout (ViT numbers captured in the attempt-1 log)
+    if which in ("vit", "both"):
+        vit_probe()
+    if which in ("opt", "both"):
+        opt_probe()

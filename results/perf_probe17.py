@@ -36,8 +36,10 @@ def main():
 
     params = make_params(jax.random.PRNGKey(0))
 
+    # bucket 128 scaling was measured in round 2; keep the compile budget to
+    # the int8-vs-bf16 comparison at the full 512 bucket
     for kv_int8 in (False, True):
-        for bucket in (512, 128):
+        for bucket in (512,):
             ecfg = EngineConfig(
                 max_slots=8, max_prompt=512, max_seq=576, kv_int8=kv_int8
             )

@@ -173,3 +173,47 @@ def test_host_batch_slice_single_process():
     from outeffhop_tpu.parallel.mesh import host_batch_slice
 
     assert host_batch_slice(100) == slice(0, 100)
+
+
+def test_make_adamw_scheduler_variants_and_inf_clip():
+    """--lr_scheduler_type {linear,cosine,constant} and --grad_norm_type inf
+    (reference args.py / torch clip_grad_norm_ norm_type parity)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import pytest
+
+    from outeffhop_tpu.parallel.train import make_adamw
+
+    params = {"w": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}
+    grads = {"w": jnp.full((4, 4), 100.0), "bias": jnp.full((4,), 100.0)}
+    for sched in ("linear", "cosine", "constant"):
+        tx = make_adamw(params, lr=1e-3, warmup_steps=2, total_steps=10,
+                        scheduler=sched)
+        st = tx.init(params)
+        updates, _ = tx.update(grads, st, params)
+        assert jnp.all(jnp.isfinite(updates["w"]))
+    with pytest.raises(ValueError, match="scheduler"):
+        make_adamw(params, scheduler="bogus")
+
+    # inf-norm clip: max-abs of the clipped grads (before adam) == clip_norm
+    from outeffhop_tpu.parallel.train import _clip_by_global_inf_norm
+    clip = _clip_by_global_inf_norm(1.0)
+    clipped, _ = clip.update(grads, clip.init(params))
+    gmax = max(float(jnp.max(jnp.abs(v))) for v in jax.tree.leaves(clipped))
+    assert abs(gmax - 1.0) < 1e-6
+    with pytest.raises(ValueError, match="grad_norm_type"):
+        make_adamw(params, grad_norm_type=3.0)
+
+
+def test_prune_checkpoints(tmp_path):
+    import os
+
+    from outeffhop_tpu.utils.checkpoint import prune_checkpoints
+
+    for i in (1, 5, 9, 13):
+        os.makedirs(tmp_path / f"step_{i}")
+    removed = prune_checkpoints(str(tmp_path), keep=2)
+    left = sorted(os.listdir(tmp_path))
+    assert left == ["step_13", "step_9"], left
+    assert len(removed) == 2
