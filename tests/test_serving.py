@@ -257,3 +257,24 @@ def test_engine_kv_int8_matches_bf16_greedy(opt):
         outs[kv_int8] = [res[r] for r in rids]
     for a, b in zip(outs[False], outs[True]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_engine_kv_int8_composes_with_int8_weights(opt):
+    """kv_int8 (cache) and int8_weights (dense matmuls) are independent
+    levers; composed they must still reproduce the bf16 engine's outputs on
+    a tiny model."""
+    cfg, params = opt
+    prompts = [np.random.RandomState(20 + i).randint(3, 120, 4 + i) for i in range(3)]
+
+    def run(kv_int8, int8_weights):
+        ecfg = EngineConfig(max_slots=2, max_seq=40, max_prompt=16,
+                            eos_token_id=999, kv_int8=kv_int8)
+        eng = ServingEngine(params, cfg, ecfg, int8_weights=int8_weights)
+        rids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+        res = eng.run(decode_chunk=2)
+        return [res[r] for r in rids]
+
+    base = run(False, False)
+    both = run(True, True)
+    for a, b in zip(base, both):
+        np.testing.assert_array_equal(a, b)
