@@ -68,24 +68,37 @@ def eval_loop(
     """Average loss over batches; optional probe telemetry on the same passes.
 
     `loss_and_count(batch, qctx, tape)` → (sum_loss, n_items). Returns
-    (mean_loss, telemetry_dict)."""
-    total, count = 0.0, 0
-    probe_sums: Dict[str, float] = {}
-    probe_counts: Dict[str, int] = {}
+    (mean_loss, telemetry_dict).
+
+    Host-transfer discipline (VERDICT r3 #8): per-batch values stay ON DEVICE
+    and pipeline asynchronously; everything crosses the host boundary ONCE at
+    the end (one stacked reduction per quantity). The round-3 version called
+    `float(v)` per probe per batch — a blocking ~100 ms tunnel round trip per
+    value on the remote chip, dozens per batch with telemetry on."""
+    losses, counts = [], []
+    probe_vals: Dict[str, list] = {}
     for i, batch in enumerate(batches):
         tape = ProbeTape() if collect_telemetry and i < max_telemetry_batches else None
         stape = ScopedTape(tape, "") if tape is not None else ScopedTape(None, "")
         s, n = loss_and_count(batch, qctx, stape)
-        total += float(s)
-        count += int(n)
+        losses.append(jnp.asarray(s, jnp.float32).reshape(()))
+        counts.append(jnp.asarray(n, jnp.float32).reshape(()))
         if tape is not None:
             for k, v in tape.values.items():
-                probe_sums[k] = probe_sums.get(k, 0.0) + float(v)
-                probe_counts[k] = probe_counts.get(k, 0) + 1
-    mean_loss = total / max(count, 1)
-    telem = aggregate_telemetry(
-        {k: probe_sums[k] / probe_counts[k] for k in probe_sums}
+                probe_vals.setdefault(k, []).append(
+                    jnp.asarray(v, jnp.float32).reshape(())
+                )
+    if not losses:
+        return 0.0, aggregate_telemetry({})
+    keys = sorted(probe_vals)
+    # one device reduction producing a single flat vector, one host transfer
+    summary = jnp.stack(
+        [jnp.sum(jnp.stack(losses)), jnp.sum(jnp.stack(counts))]
+        + [jnp.mean(jnp.stack(probe_vals[k])) for k in keys]
     )
+    host = np.asarray(summary)
+    mean_loss = float(host[0]) / max(float(host[1]), 1.0)
+    telem = aggregate_telemetry({k: float(host[2 + i]) for i, k in enumerate(keys)})
     return mean_loss, telem
 
 

@@ -238,8 +238,60 @@ def opt_attention(
     acfg = cfg.attention_config()
 
     q_states = common.dense(params["q_proj"], hidden_states, q, "q_proj") * scaling
-    k_states = split_heads(common.dense(params["k_proj"], hidden_states, q, "k_proj"), n_heads)
-    v_states = split_heads(common.dense(params["v_proj"], hidden_states, q, "v_proj"), n_heads)
+    k_packed = common.dense(params["k_proj"], hidden_states, q, "k_proj")
+    v_packed = common.dense(params["v_proj"], hidden_states, q, "v_proj")
+
+    from outeffhop_tpu.ops.flash import packed_supported, pallas_attention_worthwhile
+    from outeffhop_tpu.ops.softmax_variants import fused_softmax_spec
+
+    b, t, _ = hidden_states.shape
+    fused = fused_softmax_spec(
+        cfg.attn_softmax, cfg.alpha, cfg.max_seq_length, cfg.alpha_softmax1
+    )
+    # Packed prefill path: q/k/v never leave the (B, T, H*D) layout the
+    # projections produce. Round 3 measured the unpacked kernel LOSING e2e
+    # (ViT −22%, probe14) and CRASHING Mosaic in the OPT composition at
+    # B8xT512 — the packed kernel is the one with verified on-chip wins
+    # (probe12: 4.10x at B32xT512) and no transpose materializations.
+    packed_ok = (
+        use_flash
+        and past_key_value is None
+        and not tape.enabled
+        and not q.act_sites_enabled
+        and fused is not None
+        and (deterministic or cfg.dropout == 0.0)
+        and pallas_attention_worthwhile(b, n_heads, t, t)
+        and packed_supported(b, t, t, n_heads, cfg.head_dim,
+                             hidden_states.dtype.itemsize)
+    )
+    if packed_ok:
+        from outeffhop_tpu.ops.flash import flash_attention_packed
+
+        context = flash_attention_packed(
+            q_states,
+            k_packed,
+            v_packed,
+            bias=padding_bias,
+            heads=n_heads,
+            softmax_n=fused[0],
+            scale=1.0,  # already folded into q
+            causal=t > 1,
+            clip=fused[1],
+        )
+        if cfg.attn_gate_type != "none":
+            from outeffhop_tpu.ops.attention import apply_gate_packed
+
+            context = apply_gate_packed(
+                context, params.get("gate"), acfg, hidden_states, tape
+            )
+        context = q.act("context", context)
+        out = common.dense(params["out_proj"], context, q, "out_proj")
+        # new_past in the standard (B, H, T, D) cache layout; XLA dead-code-
+        # eliminates the transposes when the caller drops the past
+        return out, (split_heads(k_packed, n_heads), split_heads(v_packed, n_heads))
+
+    k_states = split_heads(k_packed, n_heads)
+    v_states = split_heads(v_packed, n_heads)
 
     # Single-token decode fast path (opt-in, `decode_fast=True`): score the
     # query against the (static) cache and the fresh K/V separately instead
@@ -274,8 +326,9 @@ def opt_attention(
         new_past = (k_states, v_states)
     q_states = split_heads(q_states, n_heads)
 
-    from outeffhop_tpu.ops.flash import pallas_attention_worthwhile
-
+    # Unpacked fallback: long sequences (> the packed kernel's VMEM budget,
+    # e.g. T=2048) go through the online-softmax recurrence kernel
+    # (probe11: 4.15-5x standalone at T>=4096); clip cannot fuse there.
     flash_ok = (
         use_flash
         and not decode_fast  # decode_fast skipped the KV concat: flash would

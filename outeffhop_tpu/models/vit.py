@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from outeffhop_tpu.models import common
 from outeffhop_tpu.ops.attention import (
+    apply_gate_packed,
     AttentionExtrasConfig,
     apply_gate,
     attention_extras_params,
@@ -216,40 +217,53 @@ def vit_attention(
     n_heads = cfg.num_heads
     acfg = cfg.attention_config()
     qkv = common.dense(params["qkv"], x, q, "qkv")
-    qs, ks, vs = jnp.split(qkv, 3, axis=-1)
-    qs, ks, vs = (split_heads(t, n_heads) for t in (qs, ks, vs))
+    qs, ks, vs = jnp.split(qkv, 3, axis=-1)  # packed (B, T, H*D) each
 
-    from outeffhop_tpu.ops.flash import pallas_attention_worthwhile
+    from outeffhop_tpu.ops.flash import packed_supported, pallas_attention_worthwhile
+    from outeffhop_tpu.ops.softmax_variants import fused_softmax_spec
 
+    b, t, _ = x.shape
+    fused = fused_softmax_spec(cfg.attn_softmax)
     flash_ok = (
         use_flash
         and not tape.enabled
         and not q.enabled
-        and cfg.attn_softmax in ("vanilla", "softmax1")
+        and fused is not None
         and (deterministic or cfg.attn_dropout == 0.0)
-        # measured crossover (results/probe12.log): the Pallas kernel wins
-        # 2.6x at ViT-base B64xT200; XLA wins below ~16M score elements
-        and pallas_attention_worthwhile(
-            qs.shape[0], n_heads, qs.shape[2], ks.shape[2]
-        )
+        # measured crossover (results/probe12.log): the PACKED kernel wins
+        # 2.6x at ViT-base B64xT200; XLA wins below ~16M score elements.
+        # Round-3 probe14 showed the unpacked kernel + four (B,H,T,D)
+        # transpose materializations LOSES 22% e2e at this exact shape — ViT
+        # must go through the packed kernel or not at all.
+        and pallas_attention_worthwhile(b, n_heads, t, t)
+        and packed_supported(b, t, t, n_heads, cfg.head_dim, x.dtype.itemsize)
     )
     if flash_ok:
-        from outeffhop_tpu.ops.flash import flash_attention
+        from outeffhop_tpu.ops.flash import flash_attention_packed
 
-        context = flash_attention(
-            qs, ks, vs, softmax_n=1.0 if cfg.attn_softmax == "softmax1" else 0.0
+        context = flash_attention_packed(
+            qs, ks, vs,
+            heads=n_heads,
+            softmax_n=fused[0],
+            scale=1.0 / math.sqrt(cfg.head_dim),
+            clip=fused[1],
         )
-    else:
-        scores = jnp.einsum("bhqd,bhkd->bhqk", qs, ks) / math.sqrt(cfg.head_dim)
-        scores = tape.record("attn_scores", scores)
-        scores = q.act("attn_scores", scores)
-        probs = acfg.softmax_fn()(scores, axis=-1)
-        probs = tape.record("attn_probs_before_dropout", probs)
-        probs = q.act("attn_probs", probs)
-        # reference bug not replicated: vit_attention.py:74 hard-codes
-        # dropout train=True even in eval; we respect `deterministic`
-        probs = common.dropout(probs, cfg.attn_dropout, dropout_rng, deterministic)
-        context = jnp.einsum("bhqk,bhkd->bhqd", probs, vs)
+        if cfg.attn_gate_type != "none":
+            context = apply_gate_packed(context, params.get("gate"), acfg, x, tape)
+        context = q.act("context", context)
+        return common.dense(params["proj"], context, q, "proj")
+
+    qs, ks, vs = (split_heads(tns, n_heads) for tns in (qs, ks, vs))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qs, ks) / math.sqrt(cfg.head_dim)
+    scores = tape.record("attn_scores", scores)
+    scores = q.act("attn_scores", scores)
+    probs = acfg.softmax_fn()(scores, axis=-1)
+    probs = tape.record("attn_probs_before_dropout", probs)
+    probs = q.act("attn_probs", probs)
+    # reference bug not replicated: vit_attention.py:74 hard-codes
+    # dropout train=True even in eval; we respect `deterministic`
+    probs = common.dropout(probs, cfg.attn_dropout, dropout_rng, deterministic)
+    context = jnp.einsum("bhqk,bhkd->bhqd", probs, vs)
 
     if cfg.attn_gate_type != "none":
         context = apply_gate(context, params.get("gate"), acfg, x, tape)

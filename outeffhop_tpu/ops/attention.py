@@ -274,10 +274,15 @@ def attention_with_extras(
     mixed_q = common.dense(params["query"], hidden_states, q, "query")
 
     from outeffhop_tpu.ops.flash import pallas_attention_worthwhile
+    from outeffhop_tpu.ops.softmax_variants import fused_softmax_spec
 
     t_kv_len = (encoder_hidden_states if is_cross else hidden_states).shape[1]
     if past_key_value is not None and not is_cross:
         t_kv_len += past_key_value[0].shape[2]
+    # (softmax_n, clip) decomposition the kernels can fuse — covers vanilla,
+    # softmax1, every clipped(γ:η)/clippedsoftmax1 preset, and the α-mode
+    # (γ=-α/max_seq_length clipped softmax); None for entmax/callables
+    fused = fused_softmax_spec(cfg.softmax, cfg.alpha, cfg.max_seq_length)
     flash_eligible = (
         use_flash
         and not tape.enabled
@@ -285,8 +290,7 @@ def attention_with_extras(
         and cfg.position_embedding_type == "absolute"
         and head_mask is None
         and (deterministic or cfg.dropout_rate == 0.0)
-        and cfg.softmax in ("vanilla", "softmax1")
-        and cfg.alpha is None
+        and fused is not None
         # measured dispatch: below the crossover XLA's fused unblocked
         # attention is faster than any Pallas kernel (results/probe12.log)
         and pallas_attention_worthwhile(
@@ -323,8 +327,9 @@ def attention_with_extras(
             mixed_v,
             bias=attention_mask,
             heads=n_heads,
-            softmax_n=1.0 if cfg.softmax == "softmax1" else 0.0,
+            softmax_n=fused[0],
             scale=1.0 / math.sqrt(cfg.head_size),
+            clip=fused[1],
         )
         if cfg.gate_type != "none":
             context = apply_gate_packed(
@@ -352,7 +357,9 @@ def attention_with_extras(
 
     softmax_fn = cfg.softmax_fn()
 
-    if flash_eligible:
+    # clip needs a one-pass path: whole K row normalized in VMEM (true up to
+    # the default block_k=2048; beyond that the recurrence kernel cannot clip)
+    if flash_eligible and (fused[1] is None or t_kv_len <= 2048):
         from outeffhop_tpu.ops.flash import flash_attention
 
         context = flash_attention(
@@ -360,8 +367,9 @@ def attention_with_extras(
             key_layer,
             value_layer,
             bias=attention_mask,
-            softmax_n=1.0 if cfg.softmax == "softmax1" else 0.0,
+            softmax_n=fused[0],
             scale=1.0 / math.sqrt(cfg.head_size),
+            clip=fused[1],
         )
         attention_probs = None
     else:

@@ -17,9 +17,19 @@ as the real logits; softmax_n is not shift-invariant).
 
 Supports: additive padding bias (B, 1, 1, K) (BERT/OPT mask layout), causal
 masking (OPT decoder), arbitrary n (0 = vanilla flash attention, 1 = OutEffHop
-softmax_1). Clipped/entmax variants intentionally stay on the XLA path: the
-stretch-and-clip acts on *normalized* probabilities and cannot commute with
-online accumulation (SURVEY.md §7 hard parts).
+softmax_1), and the clipped-softmax(_n) epilogue `clip(p*(eta-gamma)+gamma,
+0, 1)` (`transformers_language/models/softmax.py:10-19`) on every ONE-PASS
+path: the stretch-and-clip acts on *normalized* probabilities, so it cannot
+commute with the online recurrence (SURVEY.md §7 hard parts) — but the
+one-pass kernels (short/packed/whole-K-block) normalize the full row in VMEM
+before the PV matmul, where the clip is a free two-op epilogue. Only the
+long-sequence recurrence path rejects `clip`; entmax stays on the XLA path.
+
+Both public entry points carry a `jax.custom_vjp`: the forward runs the Pallas
+kernel, the backward recomputes attention via the jnp reference (XLA) and
+differentiates it — exact for softmax_n/clip/causal/bias (the reference's
+training loop is its main activity, `run_mlm.py:554-673`; a kernelized
+backward is a further optimization, the VJP makes `use_flash` trainable).
 
 K/V stream through VMEM in `block_k` chunks via the grid's innermost
 dimension, so sequence length is bounded by HBM, not VMEM; Pallas double-
@@ -30,7 +40,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,9 +78,35 @@ def _scores(
     return s
 
 
+def _causal_keep(shape, causal_offset):
+    """Full-shape causal keep-mask (query i attends to keys <= i + offset).
+
+    Deliberately materialized at the score tile's FULL static shape (incl. the
+    leading batch/head-group dim): a (1, t_q, t_k) mask broadcast through
+    `jnp.where` crashes Mosaic's ApplyVectorLayout pass on-chip
+    (`Check failed: limits[i] <= dim(i) (64 vs. 1)` — round-3 probe14, OPT
+    e2e B8xT512). Full-shape iotas cost nothing (iota is generated in
+    registers) and sidestep the singleton-broadcast lowering path entirely.
+    Regression: tests/test_flash.py::test_kernel_masks_are_full_shape.
+    """
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return q_pos + causal_offset >= k_pos
+
+
+def _clip_epilogue(p, clip):
+    """Stretch-then-clip on NORMALIZED probabilities — the clipped-softmax(_n)
+    semantics (`softmax.py:10-19`): clip(p*(eta-gamma)+gamma, 0, 1). Only legal
+    on one-pass paths where the full row is normalized in VMEM."""
+    if clip is None:
+        return p
+    gamma, eta = clip
+    return jnp.clip(p * (eta - gamma) + gamma, 0.0, 1.0)
+
+
 def _flash_kernel_onepass(
     q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, softmax_n, causal, block_q, block_k,
-    causal_offset=0,
+    causal_offset=0, clip=None,
 ):
     """Single K-block variant (t_k fits one block): whole-row softmax_n with no
     online recurrence or scratch round-trips — the fast path at the reference's
@@ -90,6 +126,7 @@ def _flash_kernel_onepass(
     if softmax_n:
         denom = denom + softmax_n * jnp.exp(-m)
     p = p / denom
+    p = _clip_epilogue(p, clip)
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -181,6 +218,7 @@ def _batched_onepass_kernel(
     causal_offset,
     t_q,
     t_k,
+    clip=None,
 ):
     """Short-sequence path: the whole (T_q, T_k) score tile fits VMEM, so fuse
     `block_bh` head-slices into ONE program with batched MXU matmuls. At the
@@ -196,9 +234,11 @@ def _batched_onepass_kernel(
     if bias_ref is not None:
         s = s + bias_ref[...].astype(jnp.float32)
     if causal:
-        q_pos = jax.lax.broadcasted_iota(jnp.int32, (1, t_q, t_k), 1)
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, (1, t_q, t_k), 2)
-        s = jnp.where(q_pos + causal_offset >= k_pos, s, NEG_INF)
+        # full-shape iotas, NOT (1, t_q, t_k) broadcast through the where:
+        # Mosaic's ApplyVectorLayout crashed (`limits[i] <= dim(i) (64 vs 1)`,
+        # probe14 OPT B8xT512 SIGABRT) broadcasting a singleton leading dim
+        # inside the select — the nobias/noncausal variant compiled fine
+        s = jnp.where(_causal_keep(s.shape, causal_offset), s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     if softmax_n:
         m = jnp.maximum(m, 0.0)  # see softmax_variants.softmax_n
@@ -207,6 +247,7 @@ def _batched_onepass_kernel(
     if softmax_n:
         denom = denom + softmax_n * jnp.exp(-m)
     p = p / denom
+    p = _clip_epilogue(p, clip)
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[...], (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -216,7 +257,7 @@ def _batched_onepass_kernel(
 
 def _flash_attention_short(
     qr, kr, vr, bias, b, h, *, scale, softmax_n, causal, causal_offset,
-    interpret=False,
+    clip=None, interpret=False,
 ):
     """(b*h, T, D) short-seq dispatch: grid over head-slices only."""
     bh, t_q, d = qr.shape
@@ -260,6 +301,7 @@ def _flash_attention_short(
         causal_offset=causal_offset,
         t_q=t_q,
         t_k=t_k,
+        clip=clip,
     )
     return pl.pallas_call(
         kernel,
@@ -346,6 +388,7 @@ def _packed_onepass_kernel(
     t_k,
     d,
     group,
+    clip=None,
 ):
     """One-pass softmax_n attention over a lane-aligned group of heads.
 
@@ -353,10 +396,7 @@ def _packed_onepass_kernel(
     unrolled at trace time (group is 2 for the BERT/OPT/ViT d=64 families).
     Static lane slices at d-multiples lower to in-register relayouts — no HBM
     traffic, unlike the XLA-materialized (B,H,T,D) transposes this replaces."""
-    if causal:
-        q_pos = jax.lax.broadcasted_iota(jnp.int32, (1, t_q, t_k), 1)
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, (1, t_q, t_k), 2)
-        causal_keep = q_pos + causal_offset >= k_pos
+    causal_keep = None
     bias = bias_ref[...].astype(jnp.float32) if bias_ref is not None else None
     for hh in range(group):
         sl = slice(hh * d, (hh + 1) * d)
@@ -369,6 +409,8 @@ def _packed_onepass_kernel(
         if bias is not None:
             s = s + bias
         if causal:
+            if causal_keep is None:  # full-shape mask — see _causal_keep
+                causal_keep = _causal_keep(s.shape, causal_offset)
             s = jnp.where(causal_keep, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         if softmax_n:
@@ -378,6 +420,7 @@ def _packed_onepass_kernel(
         if softmax_n:
             denom = denom + softmax_n * jnp.exp(-m)
         p = p / denom
+        p = _clip_epilogue(p, clip)
         pv = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[:, :, sl], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -418,6 +461,7 @@ def flash_attention_packed(
     softmax_n: float = 0.0,
     scale: Optional[float] = None,
     causal: bool = False,
+    clip: Optional[Tuple[float, float]] = None,
     interpret: bool = False,
 ) -> Array:
     """Fused softmax_n attention over (B, T, H*D)-packed q/k/v.
@@ -432,9 +476,28 @@ def flash_attention_packed(
     (T_q, T_k) score tile to fit VMEM (true at all the reference's sequence
     lengths); longer sequences should go through :func:`flash_attention`.
 
+    Differentiable: a custom_vjp recomputes attention via the jnp reference
+    on the backward pass (exact gradients for softmax_n/clip/causal/bias).
+
     Args:
       q: (B, T_q, H*D); k, v: (B, T_k, H*D); bias: (B or 1, 1, 1, T_k).
+      clip: optional (gamma, eta) — fused clipped-softmax(_n) epilogue
+        (`softmax.py:10-19`: clip(p*(eta-gamma)+gamma, 0, 1)).
     """
+    d = q.shape[-1] // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    opts = _FlashOpts(
+        softmax_n=softmax_n, scale=scale, causal=causal, clip=clip,
+        heads=heads, interpret=interpret,
+    )
+    return _packed_diff(q, k, v, bias, opts)
+
+
+def _packed_impl(q, k, v, bias, opts: "_FlashOpts") -> Array:
+    heads = opts.heads
+    softmax_n, scale = opts.softmax_n, opts.scale
+    causal, clip, interpret = opts.causal, opts.clip, opts.interpret
     b, t_q, hd = q.shape
     t_k = k.shape[1]
     d = hd // heads
@@ -512,6 +575,7 @@ def flash_attention_packed(
         t_k=t_k_pad,
         d=d,
         group=group,
+        clip=clip,
     )
     out = pl.pallas_call(
         kernel,
@@ -536,10 +600,19 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("softmax_n", "scale", "causal", "block_q", "block_k", "interpret"),
-)
+class _FlashOpts(NamedTuple):
+    """Static (hashable) kernel options — the nondiff arg of the custom_vjps."""
+
+    softmax_n: float
+    scale: float
+    causal: bool
+    clip: Optional[Tuple[float, float]] = None
+    heads: Optional[int] = None  # packed layout only
+    block_q: int = 512
+    block_k: int = 2048
+    interpret: bool = False
+
+
 def flash_attention(
     q: Array,
     k: Array,
@@ -551,9 +624,13 @@ def flash_attention(
     causal: bool = False,
     block_q: int = 512,
     block_k: int = 2048,
+    clip: Optional[Tuple[float, float]] = None,
     interpret: bool = False,
 ) -> Array:
     """Fused softmax_n attention.
+
+    Differentiable: a custom_vjp recomputes attention via the jnp reference
+    on the backward pass (exact gradients for softmax_n/clip/causal/bias).
 
     Args:
       q, k, v: (B, H, T, D) (T_q may differ from T_k).
@@ -563,13 +640,26 @@ def flash_attention(
       scale: score scale; default 1/sqrt(D) (applied BEFORE the bias, matching
         bert_attention.py:265-276 order: scores/sqrt(d) + mask → softmax).
       causal: lower-triangular masking (OPT decoder).
+      clip: optional (gamma, eta) fused clipped-softmax(_n) epilogue — one-pass
+        paths only (the long-seq recurrence cannot clip normalized probs).
 
     Returns (B, H, T_q, D) in q's dtype.
     """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    opts = _FlashOpts(
+        softmax_n=softmax_n, scale=scale, causal=causal, clip=clip,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    return _flash_diff(q, k, v, bias, opts)
+
+
+def _flash_impl(q, k, v, bias, opts: _FlashOpts) -> Array:
+    softmax_n, scale, causal = opts.softmax_n, opts.scale, opts.causal
+    clip, interpret = opts.clip, opts.interpret
+    block_q, block_k = opts.block_q, opts.block_k
     b, h, t_q, d = q.shape
     t_k = k.shape[2]
-    if scale is None:
-        scale = 1.0 / math.sqrt(d)
 
     block_q = min(block_q, _ceil_to(t_q, 8))
     block_k = min(block_k, _ceil_to(t_k, 8))
@@ -605,11 +695,17 @@ def flash_attention(
         out = _flash_attention_short(
             qr, kr, vr, bias, b, h,
             scale=scale, softmax_n=softmax_n, causal=causal,
-            causal_offset=t_k - t_q, interpret=interpret,
+            causal_offset=t_k - t_q, clip=clip, interpret=interpret,
         )
         return out[:, :t_q].reshape(b, h, t_q, d)
 
     onepass = t_k_pad == block_k  # whole K in one block: no online recurrence
+    if clip is not None and not onepass:
+        raise ValueError(
+            "clipped-softmax fusion requires a one-pass path (whole K row "
+            f"normalized in VMEM); T_k={t_k} exceeds block_k={block_k} — "
+            "raise block_k or use the XLA path for clipped long sequences"
+        )
     grid = (b * h, t_q_pad // block_q, t_k_pad // block_k)
 
     in_specs = [
@@ -652,6 +748,7 @@ def flash_attention(
         block_q=block_q,
         block_k=block_k,
         causal_offset=t_k - t_q,
+        **({"clip": clip} if onepass else {}),
     )
 
     out = pl.pallas_call(
@@ -684,7 +781,78 @@ def _flash_kernel_onepass_nobias(q_ref, k_ref, v_ref, o_ref, **kw):
 
 
 # --------------------------------------------------------------------------
-# jnp reference implementation (for kernel tests & non-TPU fallback)
+# Backward pass (custom_vjp): forward = Pallas kernel, backward = jnp
+# reference recompute differentiated by XLA. Exact for softmax_n / clip /
+# causal / bias (the softmax_n Jacobian restricted to the real logits is
+# p_i δ_ij − p_i p_j, same form as softmax — the phantom zero-logit is
+# constant and contributes a zero column). The backward materializes the
+# score tensor in HBM like the reference's unfused training step does
+# (`run_mlm.py:554-673`); a recompute-based Pallas backward kernel is a
+# further optimization, this VJP is what makes `use_flash` trainable.
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_diff(q, k, v, bias, opts: _FlashOpts):
+    return _flash_impl(q, k, v, bias, opts)
+
+
+def _flash_diff_fwd(q, k, v, bias, opts: _FlashOpts):
+    return _flash_impl(q, k, v, bias, opts), (q, k, v, bias)
+
+
+def _flash_diff_bwd(opts: _FlashOpts, res, g):
+    q, k, v, bias = res
+
+    def ref(q_, k_, v_, bias_):
+        return attention_reference(
+            q_, k_, v_, bias_, softmax_n=opts.softmax_n, scale=opts.scale,
+            causal=opts.causal, clip=opts.clip,
+        )
+
+    _, vjp = jax.vjp(ref, q, k, v, bias)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _packed_diff(q, k, v, bias, opts: _FlashOpts):
+    return _packed_impl(q, k, v, bias, opts)
+
+
+def _packed_diff_fwd(q, k, v, bias, opts: _FlashOpts):
+    return _packed_impl(q, k, v, bias, opts), (q, k, v, bias)
+
+
+def _packed_diff_bwd(opts: _FlashOpts, res, g):
+    q, k, v, bias = res
+    heads = opts.heads
+    b, t_q, hd = q.shape
+    d = hd // heads
+
+    def ref(q_, k_, v_, bias_):
+        def sh(x):
+            bb, tt, _ = x.shape
+            return x.reshape(bb, tt, heads, d).transpose(0, 2, 1, 3)
+
+        out = attention_reference(
+            sh(q_), sh(k_), sh(v_), bias_, softmax_n=opts.softmax_n,
+            scale=opts.scale, causal=opts.causal, clip=opts.clip,
+        )
+        return out.transpose(0, 2, 1, 3).reshape(b, t_q, hd)
+
+    _, vjp = jax.vjp(ref, q, k, v, bias)
+    return vjp(g)
+
+
+_packed_diff.defvjp(_packed_diff_fwd, _packed_diff_bwd)
+
+
+# --------------------------------------------------------------------------
+# jnp reference implementation (for kernel tests, the custom_vjp backward,
+# and non-TPU fallback)
 # --------------------------------------------------------------------------
 
 
@@ -697,6 +865,7 @@ def attention_reference(
     softmax_n: float = 0.0,
     scale: Optional[float] = None,
     causal: bool = False,
+    clip: Optional[Tuple[float, float]] = None,
 ) -> Array:
     from outeffhop_tpu.ops.softmax_variants import softmax_n as softmax_n_fn
 
@@ -710,4 +879,7 @@ def attention_reference(
         mask = jnp.tril(jnp.ones((t_q, t_k), bool), k=t_k - t_q)
         s = jnp.where(mask, s, NEG_INF)
     p = softmax_n_fn(s, softmax_n, axis=-1)
+    if clip is not None:
+        gamma, eta = clip
+        p = jnp.clip(p * (eta - gamma) + gamma, 0.0, 1.0)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v).astype(q.dtype)

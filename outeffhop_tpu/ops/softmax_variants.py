@@ -104,6 +104,29 @@ def _entmax15(x: Array, axis: int = -1) -> Array:
     return entmax15(x, axis=axis)
 
 
+# name → (softmax_n, clip) decomposition for every preset the fused Pallas
+# attention kernels can compute in-kernel (softmax_n core + optional
+# stretch-and-clip epilogue). Filled alongside SOFTMAX_MAPPING so the two
+# registries cannot drift; entmax is absent (sort-based, XLA path only).
+SOFTMAX_FUSED_PARAMS: Dict[str, tuple] = {}
+
+
+def fused_softmax_spec(name, alpha=None, max_seq_length=None, alpha_softmax1=False):
+    """(softmax_n, clip) for a softmax variant the flash kernels can fuse,
+    or None if the variant (or a callable) has no in-kernel decomposition.
+
+    `alpha` implements the reference's α-mode (clipped softmax with
+    γ=-α/max_seq_length, η=1.0 — `bert_attention.py:89-94`; the
+    `alpha_softmax1` opt-in mirrors `OPTConfig.softmax_fn`)."""
+    if alpha is not None:
+        if max_seq_length is None:
+            return None
+        return (1.0 if alpha_softmax1 else 0.0, (-alpha / max_seq_length, 1.0))
+    if callable(name):
+        return None
+    return SOFTMAX_FUSED_PARAMS.get(name)
+
+
 def _build_softmax_mapping() -> Dict[str, Callable[..., Array]]:
     """Name → callable registry with the same keys as the reference's
     `SOFTMAX_MAPPING` (`transformers_language/models/softmax.py:22-64`), so CLI
@@ -119,14 +142,21 @@ def _build_softmax_mapping() -> Dict[str, Callable[..., Array]]:
         "softmax1": softmax_1,
         "entmax": _entmax15,
     }
+    SOFTMAX_FUSED_PARAMS["vanilla"] = (0.0, None)
+    SOFTMAX_FUSED_PARAMS["softmax1"] = (1.0, None)
+
+    def _reg(key, fn, n, gamma, eta):
+        mapping[key] = fn
+        SOFTMAX_FUSED_PARAMS[key] = (n, (gamma, eta))
+
     for eta in (1.0003, 1.001, 1.002, 1.003, 1.004, 1.01, 1.02, 1.03, 1.1):
-        mapping[f"clipped(0:{_fmt(eta)})"] = _clipped(0.0, eta)
+        _reg(f"clipped(0:{_fmt(eta)})", _clipped(0.0, eta), 0.0, 0.0, eta)
     for gamma in (
         -0.1, -0.00001, -0.00003, -0.0001, -0.0003, -0.0005, -0.001, -0.002,
         -0.0025, -0.003, -0.004, -0.005, -0.01, -0.015, -0.02, -0.025, -0.03,
         -0.04,
     ):
-        mapping[f"clipped({_fmt_gamma(gamma)}:1)"] = _clipped(gamma, 1.0)
+        _reg(f"clipped({_fmt_gamma(gamma)}:1)", _clipped(gamma, 1.0), 0.0, gamma, 1.0)
     for gamma, eta in (
         (-0.001, 1.001),
         (-0.002, 1.002),
@@ -137,10 +167,14 @@ def _build_softmax_mapping() -> Dict[str, Callable[..., Array]]:
         (-0.1, 1.1),
     ):
         key_gamma = -0.005 if eta == 1.005 else gamma
-        mapping[f"clipped({_fmt_gamma(key_gamma)}:{_fmt(eta)})"] = _clipped(gamma, eta)
-    mapping["clippedsoftmax1(-.025:1)"] = _clipped1(-0.025, 1.1)  # eta=1.1 quirk
-    mapping["clippedsoftmax1(-.00001:1)"] = _clipped1(-0.00001, 1.0)
-    mapping["clippedsoftmax1(-.0001:1)"] = _clipped1(-0.0001, 1.0)
+        _reg(
+            f"clipped({_fmt_gamma(key_gamma)}:{_fmt(eta)})",
+            _clipped(gamma, eta), 0.0, gamma, eta,
+        )
+    # eta=1.1 quirk preserved (softmax.py:61)
+    _reg("clippedsoftmax1(-.025:1)", _clipped1(-0.025, 1.1), 1.0, -0.025, 1.1)
+    _reg("clippedsoftmax1(-.00001:1)", _clipped1(-0.00001, 1.0), 1.0, -0.00001, 1.0)
+    _reg("clippedsoftmax1(-.0001:1)", _clipped1(-0.0001, 1.0), 1.0, -0.0001, 1.0)
     return mapping
 
 

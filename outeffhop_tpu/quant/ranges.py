@@ -193,33 +193,61 @@ class MSEEstimator(RangeEstimator):
         se = jnp.sum(jnp.square(x - y).reshape(x.shape[0], -1), axis=1)
         return se if per_channel_loss else jnp.sum(se)[None]
 
+    def _grid_losses(self, x: Array, thrs: np.ndarray, signed=None) -> np.ndarray:
+        """Quantization MSE for every (neg, pos) threshold pair in ONE jitted
+        `lax.map` — the round-3 version dispatched one eager device program per
+        grid cell (100 cands x 64 skews x 2 signs = 12,800 round trips for one
+        asymmetric weight tensor; minutes through the remote-chip tunnel).
+        Returns (n_thresholds, channels)."""
+        from outeffhop_tpu.quant.fake_quant import (
+            fake_quant,
+            qparams_from_range_asymmetric,
+            qparams_from_range_symmetric,
+        )
+
+        n_bits, symmetric, per_channel = self.n_bits, self.symmetric, self.per_channel
+
+        def one(thr):
+            if symmetric:
+                qp = qparams_from_range_symmetric(
+                    thr[0], thr[1], n_bits=n_bits, signed=signed
+                )
+            else:
+                qp = qparams_from_range_asymmetric(thr[0], thr[1], n_bits=n_bits)
+            y = fake_quant(x, qp)
+            se = jnp.sum(jnp.square(x - y).reshape(x.shape[0], -1), axis=1)
+            return se if per_channel else jnp.sum(se)[None]
+
+        losses = jax.jit(lambda t: jax.lax.map(one, t))(
+            jnp.asarray(thrs, jnp.float32)
+        )
+        return np.asarray(losses)
+
     def _candidate_losses(self, search, x: Array) -> np.ndarray:
         step = search["max_range"] / self.num_candidates
-        cands = np.arange(1, self.num_candidates + 1)
+        cands = np.arange(1, self.num_candidates + 1, dtype=np.float64)
         if search["mode"] == "1d":
-            losses = []
-            for c in cands:
-                neg = 0.0 if search["one_sided"] else -step * c
-                pos = step * c
-                losses.append(np.asarray(self._quant_mse(x, neg, pos, self.per_channel)))
-            return np.stack(losses, axis=1)  # (channels, num_candidates)
-        # 2d: (channels, cand, skew, sign)
+            neg = np.zeros_like(cands) if search["one_sided"] else -step * cands
+            thrs = np.stack([neg, step * cands], axis=1)  # (N, 2)
+            # symmetric grids: signed is static per search (neg<0 for every
+            # candidate unless one-sided), matching set_quant_range semantics
+            losses = self._grid_losses(x, thrs, signed=not search["one_sided"])
+            return losses.T  # (channels, num_candidates)
+        # 2d: (channels, cand, skew, sign) — same grid/order as the reference's
+        # triple loop (`MSE_Estimator`, range_estimators.py:114-382)
         max_int_skew = (2**self.n_bits) // 4
         int_max = 2.0**self.n_bits - 1
+        start, finish = -step * cands, step * cands  # (N,)
+        delta = (finish - start) / int_max
+        shifts = np.arange(max_int_skew, dtype=np.float64)
+        signs = np.array([1.0, -1.0])  # reverse=0 → +shift, reverse=1 → −shift
+        skew = signs[None, None, :] * shifts[None, :, None] * delta[:, None, None]
+        neg = np.maximum(start[:, None, None] + skew, search["max_neg_thr"])
+        pos = np.minimum(finish[:, None, None] + skew, search["max_pos_thr"])
+        thrs = np.stack([neg.reshape(-1), pos.reshape(-1)], axis=1)  # (N·S·2, 2)
+        losses = self._grid_losses(x, thrs)  # (N·S·2, channels)
         channels = x.shape[0] if self.per_channel else 1
-        out = np.zeros((channels, self.num_candidates, max_int_skew, 2))
-        for ci, c in enumerate(cands):
-            start, finish = -step * c, step * c
-            delta = (finish - start) / int_max
-            for shift in range(max_int_skew):
-                for reverse in range(2):
-                    skew = ((-1) ** reverse) * shift * delta
-                    neg = max(start + skew, search["max_neg_thr"])
-                    pos = min(finish + skew, search["max_pos_thr"])
-                    out[:, ci, shift, reverse] = np.asarray(
-                        self._quant_mse(x, neg, pos, self.per_channel)
-                    )
-        return out
+        return losses.T.reshape(channels, self.num_candidates, max_int_skew, 2)
 
     def batch_stats(self, x: Array):
         return x  # MSE needs the raw tensor
