@@ -193,3 +193,38 @@ def test_tracking_jsonl_and_tensorboard(tmp_path):
     ]
     assert any("eval/top1" in l for l in lines)
     assert os.path.isdir(os.path.join(out, "tb", "t1"))
+
+
+def test_validate_mlm_real_state_dict(tmp_path):
+    """The parity-runbook load path (scripts/parity_runbook.md): a REAL
+    `pytorch_model.bin` on disk → `--model_name_or_path` → converted pytree →
+    FP + INT8 eval. Fabricates the checkpoint with HF torch BERT, exactly what
+    `save_pretrained` produces outside the sandbox."""
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertForMaskedLM
+
+    hf_cfg = HFBertConfig(
+        vocab_size=1000, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=128, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    torch.save(BertForMaskedLM(hf_cfg).eval().state_dict(),
+               ckpt / "pytorch_model.bin")
+
+    from outeffhop_tpu.drivers.validate_mlm import main
+
+    res = main([
+        "--model_name_or_path", str(ckpt), "--num_hidden_layers", "2",
+        "--quantize", "--est_num_batches", "2",
+        "--per_device_eval_batch_size", "4", "--synthetic_tokens", "8000",
+        "--output_dir", str(tmp_path / "out"),
+    ])
+    assert np.isfinite(res["perplexity"]) and np.isfinite(res["int8_perplexity"])
+    # untrained random torch weights: ppl near uniform over 1000 tokens
+    assert 200 < res["perplexity"] < 5000
+    assert abs(res["delta_perplexity"]) / res["perplexity"] < 0.2
