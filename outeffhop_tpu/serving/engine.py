@@ -53,11 +53,21 @@ class EngineConfig:
     pad_token_id: int = 1
     temperature: float = 0.0  # 0 → greedy
     top_k: int = 0  # 0 → full distribution
-    # INT8 KV cache (models/opt.py:Int8KV): halves the decode step's dominant
-    # HBM traffic (the cache read) at the cost of per-token-per-head
-    # symmetric quantization of K/V at write time. Exact-dequant scales are
-    # folded around the attention matmuls — no extra cache traffic.
+    # INT8 KV cache (models/opt.py:Int8KV): halves the decode step's cache
+    # HBM traffic at the cost of per-token-per-head symmetric quantization of
+    # K/V at write time. REQUIRES fused_decode on TPU: the XLA lowering
+    # materializes the int8→bf16 conversion and measured 40% SLOWER than the
+    # bf16 cache (round-3 probe17); the Pallas decode kernel DMAs the cache
+    # as int8 and dequantizes in-register (ops/decode_attention.py).
     kv_int8: bool = False
+    # Fused Pallas decode-attention kernel. None → auto (on when the default
+    # backend is TPU); False forces the XLA decode path (CPU tests, debugging).
+    fused_decode: Optional[bool] = None
+
+    def use_fused_decode(self) -> bool:
+        if self.fused_decode is not None:
+            return self.fused_decode
+        return jax.default_backend() == "tpu"
 
 
 @dataclasses.dataclass
@@ -247,7 +257,7 @@ def _decode_body(cfg: OPTConfig, ecfg: EngineConfig, params, state: EngineState,
         ]
     logits, new_past = opt_forward(
         params, cfg, cur, attn_mask, past_key_values=past_list, decode_fast=True,
-        q=qctx,
+        fused_decode=ecfg.use_fused_decode(), q=qctx,
     )
 
     # scatter the current K/V into each slot's row at its own position
