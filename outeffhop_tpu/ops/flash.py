@@ -494,16 +494,14 @@ def flash_attention_packed(
     return _packed_diff(q, k, v, bias, opts)
 
 
-def _packed_impl(q, k, v, bias, opts: "_FlashOpts") -> Array:
-    heads = opts.heads
-    softmax_n, scale = opts.softmax_n, opts.scale
-    causal, clip, interpret = opts.causal, opts.clip, opts.interpret
+def _packed_prep(q, k, v, bias, heads):
+    """Shared fwd/bwd prep: sublane-pad T, fold padding into the bias rows,
+    pick the lane-aligned head group. Returns the padded operands plus the
+    static geometry tuple."""
     b, t_q, hd = q.shape
     t_k = k.shape[1]
     d = hd // heads
     assert heads * d == hd
-    if scale is None:
-        scale = 1.0 / math.sqrt(d)
     if not packed_supported(b, t_q, t_k, heads, d, q.dtype.itemsize):
         raise ValueError(
             f"flash_attention_packed is the short-sequence path; "
@@ -535,6 +533,18 @@ def _packed_impl(q, k, v, bias, opts: "_FlashOpts") -> Array:
             )
     elif bias is not None:
         bias = jnp.maximum(bias.reshape(-1, 1, t_k).astype(jnp.float32), NEG_INF)
+    if bias is not None and bias.shape[0] == 1:
+        bias = jnp.broadcast_to(bias, (b, 1, t_k_pad))
+    return q, k, v, bias, (b, t_q, t_k, t_q_pad, t_k_pad, d, group)
+
+
+def _packed_impl(q, k, v, bias, opts: "_FlashOpts") -> Array:
+    heads = opts.heads
+    softmax_n, scale = opts.softmax_n, opts.scale
+    causal, clip, interpret = opts.causal, opts.clip, opts.interpret
+    q, k, v, bias, geom = _packed_prep(q, k, v, bias, heads)
+    b, t_q, t_k, t_q_pad, t_k_pad, d, group = geom
+    hd = heads * d
 
     # batch-block size: one head-group slice of q/k/v/o per program plus the
     # per-head f32 score tiles (×2: live + pipeline headroom), inside the
@@ -558,8 +568,6 @@ def _packed_impl(q, k, v, bias, opts: "_FlashOpts") -> Array:
     ]
     args = [q, k, v]
     if bias is not None:
-        if bias.shape[0] == 1:
-            bias = jnp.broadcast_to(bias, (b, 1, t_k_pad))
         in_specs.append(pl.BlockSpec((block_b, 1, t_k_pad), lambda i, h: (i, 0, 0)))
         shapes.append(((block_b, 1, t_k_pad), bias.shape))
         args.append(bias)
@@ -594,6 +602,210 @@ def _packed_impl(q, k, v, bias, opts: "_FlashOpts") -> Array:
         interpret=interpret,
     )(*args)
     return out[:, :t_q]
+
+
+def _packed_bwd_kernel(
+    q_ref,      # (bb, T_q, G*D)
+    k_ref,      # (bb, T_k, G*D)
+    v_ref,      # (bb, T_k, G*D)
+    bias_ref,   # (bb, 1, T_k) or None
+    do_ref,     # (bb, T_q, G*D)
+    dq_ref,     # (bb, T_q, G*D)
+    dk_ref,     # (bb, T_k, G*D)
+    dv_ref,     # (bb, T_k, G*D)
+    dbias_ref,  # (bb, 1, T_k) f32 or None
+    *,
+    scale,
+    softmax_n,
+    causal,
+    causal_offset,
+    t_q,
+    t_k,
+    d,
+    group,
+    clip,
+):
+    """One-pass recompute backward for the packed kernel.
+
+    The whole (T_q, T_k) row lives in VMEM, so no dq-accumulation races and no
+    per-block delta pass (the standard flash-bwd machinery) are needed:
+    recompute p exactly as the forward did, then
+
+        dv = p_clippedᵀ · do
+        dp = (do · vᵀ) → through the clip mask → softmax_n Jacobian:
+        ds = p ⊙ (dp − Σ_k p·dp)        (phantom column is constant → same
+                                          form as softmax, rows just sum < 1)
+        dq = ds·k·scale,  dk = dsᵀ·q·scale,  dbias = Σ_{h,q} ds
+
+    vs. the XLA-recompute VJP this avoids materializing the (B,H,T,T) score/
+    prob tensors (and their cotangents) in HBM — the train-step analogue of
+    the forward kernel's win.
+    """
+    causal_keep = None
+    bias = bias_ref[...].astype(jnp.float32) if bias_ref is not None else None
+    db_acc = None
+    for hh in range(group):
+        sl = slice(hh * d, (hh + 1) * d)
+        qh = q_ref[:, :, sl]
+        kh = k_ref[:, :, sl]
+        vh = v_ref[:, :, sl]
+        doh = do_ref[:, :, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        if bias is not None:
+            s = s + bias
+        if causal:
+            if causal_keep is None:
+                causal_keep = _causal_keep(s.shape, causal_offset)
+            s = jnp.where(causal_keep, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        if softmax_n:
+            m = jnp.maximum(m, 0.0)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        if softmax_n:
+            denom = denom + softmax_n * jnp.exp(-m)
+        p = e / denom  # (bb, T_q, T_k) f32, pre-clip
+
+        dpc = jax.lax.dot_general(
+            doh, vh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (bb, T_q, T_k)
+        if clip is not None:
+            gamma, eta = clip
+            stretched = p * (eta - gamma) + gamma
+            pc = jnp.clip(stretched, 0.0, 1.0)
+            dp = dpc * (eta - gamma) * (
+                (stretched > 0.0) & (stretched < 1.0)
+            ).astype(jnp.float32)
+        else:
+            pc = p
+            dp = dpc
+        dv_h = jax.lax.dot_general(
+            pc.astype(vh.dtype), doh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (bb, T_k, D)
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))  # f32
+        ds_c = ds.astype(qh.dtype)
+        dq_h = jax.lax.dot_general(
+            ds_c, kh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (bb, T_q, D)
+        dk_h = jax.lax.dot_general(
+            ds_c, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (bb, T_k, D)
+        dq_ref[:, :, sl] = dq_h.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk_h.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv_h.astype(dv_ref.dtype)
+        if dbias_ref is not None:
+            db_h = jnp.sum(ds, axis=1, keepdims=True)  # (bb, 1, T_k)
+            db_acc = db_h if db_acc is None else db_acc + db_h
+    if dbias_ref is not None:
+        dbias_ref[...] = db_acc
+
+
+def _packed_bwd_kernel_nobias(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
+                              dv_ref, **kw):
+    _packed_bwd_kernel(q_ref, k_ref, v_ref, None, do_ref, dq_ref, dk_ref,
+                       dv_ref, None, **kw)
+
+
+def _packed_bwd_impl(q, k, v, bias, g, opts: "_FlashOpts"):
+    """Pallas backward for the packed layout. Raises ValueError when the
+    per-program VMEM footprint exceeds budget (caller falls back to the
+    XLA-recompute VJP)."""
+    heads = opts.heads
+    had_bias = bias is not None
+    bias_shape, bias_dtype = (bias.shape, bias.dtype) if had_bias else (None, None)
+    q, k, v, bias, geom = _packed_prep(q, k, v, bias, heads)
+    b, t_q, t_k, t_q_pad, t_k_pad, d, group = geom
+    hd = heads * d
+    gd = group * d
+    if t_q_pad != t_q:
+        g = jnp.pad(g, ((0, 0), (0, t_q_pad - t_q), (0, 0)))
+
+    # 7 (q,k,v,do,dq,dk,dv) head-group slices + 3 live f32 score tiles
+    per_b = (
+        7 * max(t_q_pad, t_k_pad) * gd * q.dtype.itemsize
+        + 3 * t_q_pad * t_k_pad * 4
+    )
+    if per_b > 11 * 1024 * 1024:
+        raise ValueError("packed backward exceeds the VMEM budget")
+    block_b = max(1, min(b, (6 * 1024 * 1024) // per_b))
+    while b % block_b:
+        block_b -= 1
+    n_groups = heads // group
+    grid = (b // block_b, n_groups)
+
+    qspec = pl.BlockSpec((block_b, t_q_pad, gd), lambda i, h: (i, 0, h))
+    kspec = pl.BlockSpec((block_b, t_k_pad, gd), lambda i, h: (i, 0, h))
+    in_specs = [qspec, kspec, kspec]
+    args = [q, k, v]
+    shapes = [
+        ((block_b, t_q_pad, gd), q.shape),
+        ((block_b, t_k_pad, gd), k.shape),
+        ((block_b, t_k_pad, gd), v.shape),
+    ]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((block_b, 1, t_k_pad), lambda i, h: (i, 0, 0)))
+        shapes.append(((block_b, 1, t_k_pad), bias.shape))
+        args.append(bias)
+    in_specs.append(qspec)
+    shapes.append(((block_b, t_q_pad, gd), g.shape))
+    args.append(g)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, t_q_pad, hd), q.dtype),
+        jax.ShapeDtypeStruct((b, t_k_pad, hd), k.dtype),
+        jax.ShapeDtypeStruct((b, t_k_pad, hd), v.dtype),
+    ]
+    out_specs = [qspec, kspec, kspec]
+    if had_bias:
+        # per-head-group partial dbias rows; summed over groups below
+        out_shapes.append(jax.ShapeDtypeStruct((b, n_groups, t_k_pad), jnp.float32))
+        out_specs.append(pl.BlockSpec((block_b, 1, t_k_pad), lambda i, h: (i, h, 0)))
+    validate_block_specs(shapes, kernel="flash_attention_packed_bwd")
+
+    kernel = functools.partial(
+        _packed_bwd_kernel if bias is not None else _packed_bwd_kernel_nobias,
+        scale=opts.scale,
+        softmax_n=opts.softmax_n,
+        causal=opts.causal,
+        causal_offset=t_k - t_q,
+        t_q=t_q_pad,
+        t_k=t_k_pad,
+        d=d,
+        group=group,
+        clip=opts.clip,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * heads * t_q_pad * t_k_pad * d,
+            bytes_accessed=(q.size + k.size + v.size) * 2 * q.dtype.itemsize
+            + q.size * q.dtype.itemsize,
+            transcendentals=b * heads * t_q_pad * t_k_pad,
+        ),
+        interpret=opts.interpret,
+    )(*args)
+    dq = outs[0][:, :t_q]
+    dk = outs[1][:, :t_k]
+    dv = outs[2][:, :t_k]
+    if not had_bias:
+        return dq, dk, dv, None
+    db = jnp.sum(outs[3], axis=1)[:, :t_k]  # (b, t_k)
+    db = db.reshape(b, 1, 1, t_k)
+    if bias_shape[0] == 1:
+        db = jnp.sum(db, axis=0, keepdims=True)
+    return dq, dk, dv, db.reshape(bias_shape).astype(bias_dtype)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -828,6 +1040,10 @@ def _packed_diff_fwd(q, k, v, bias, opts: _FlashOpts):
 
 def _packed_diff_bwd(opts: _FlashOpts, res, g):
     q, k, v, bias = res
+    try:
+        return _packed_bwd_impl(q, k, v, bias, g, opts)
+    except ValueError:
+        pass  # VMEM budget exceeded → XLA-recompute fallback below
     heads = opts.heads
     b, t_q, hd = q.shape
     d = hd // heads

@@ -15,6 +15,18 @@ catch lowering-impossible specs before any hardware is involved:
 Every Pallas wrapper in this package calls `validate_block_specs` on its
 in/out specs unconditionally (the check is static Python over static shapes —
 zero trace/runtime cost under jit).
+
+KERNEL-BODY rule (not statically checkable from specs; round-3 probe14):
+Mosaic's ApplyVectorLayout pass SIGABRTs (`Check failed: limits[i] <= dim(i)`)
+when a value with a SINGLETON leading dim is broadcast through `jnp.where`
+against a full-size operand inside a kernel body — e.g. a (1, T, T) causal
+iota selected against (bb, T, T) scores. The spec-level checks above cannot
+see this: the same BlockSpecs compile fine with a full-shape mask. Rule:
+materialize in-kernel masks at the consumer's FULL static shape
+(`ops/flash.py:_causal_keep` is the shared constructor; regression:
+tests/test_flash.py::test_kernel_masks_are_full_shape). Sublane-dim
+broadcasts of loaded blocks — e.g. a (bb, 1, t_k) bias row added to
+(bb, t_q, t_k) scores — are fine (on-chip-validated, probe12/probe19).
 """
 
 from __future__ import annotations

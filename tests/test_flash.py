@@ -447,3 +447,38 @@ def test_kernel_masks_are_full_shape():
     want = np.arange(16)[:, None] + 8 >= np.arange(24)[None, :]
     np.testing.assert_array_equal(np.asarray(m[0]), want)
     np.testing.assert_array_equal(np.asarray(m[3]), want)
+
+
+@pytest.mark.parametrize("clip", [None, (-0.025, 1.1)])
+def test_packed_bwd_bias_grad_matches_reference(clip):
+    """The Pallas packed backward emits per-head-group dbias partials summed
+    outside — check against the reference's bias cotangent (incl. the
+    broadcast-(1,1,1,T) reduction)."""
+    from outeffhop_tpu.ops.flash import flash_attention_packed
+
+    rng = np.random.default_rng(30)
+    q, k, v = make_qkv(rng, b=2, h=4, t_q=24, t_k=24, d=8)
+    for lead in (2, 1):
+        bias = jnp.asarray(rng.normal(size=(lead, 1, 1, 24)), jnp.float32)
+
+        def loss_p(bias):
+            return jnp.sum(
+                flash_attention_packed(
+                    _pack(q), _pack(k), _pack(v), bias, heads=4, softmax_n=1.0,
+                    causal=True, clip=clip, interpret=True,
+                ) ** 2
+            )
+
+        def loss_r(bias):
+            return jnp.sum(
+                attention_reference(q, k, v, bias, softmax_n=1.0, causal=True,
+                                    clip=clip) ** 2
+            )
+
+        gp = jax.grad(loss_p)(bias)
+        gr = jax.grad(loss_r)(bias)
+        assert gp.shape == bias.shape and gp.dtype == bias.dtype
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr), rtol=1e-4, atol=1e-5,
+            err_msg=f"lead={lead} clip={clip}",
+        )
