@@ -261,7 +261,7 @@ def opt_attention(
         and not q.act_sites_enabled
         and fused is not None
         and (deterministic or cfg.dropout == 0.0)
-        and pallas_attention_worthwhile(b, n_heads, t, t)
+        and pallas_attention_worthwhile(b, n_heads, t, t, causal=t > 1)
         and packed_supported(b, t, t, n_heads, cfg.head_dim,
                              hidden_states.dtype.itemsize)
     )
@@ -340,10 +340,12 @@ def opt_attention(
         and cfg.alpha is None
         and cfg.attn_gate_type == "none"
         and (deterministic or cfg.dropout == 0.0)
-        # measured crossover (results/probe12.log): XLA wins small score
-        # tensors (incl. single-token decode); Pallas wins 4.1x at B32xT512
+        # causal-aware dispatch: XLA's causal attention wins through T=512
+        # (probe19 r4); the recurrence kernel's block-skip wins at long T
+        # (probe11: 5.04x causal T=4096)
         and pallas_attention_worthwhile(
-            q_states.shape[0], n_heads, q_states.shape[2], k_states.shape[2]
+            q_states.shape[0], n_heads, q_states.shape[2], k_states.shape[2],
+            causal=q_states.shape[2] > 1,
         )
     )
     if flash_ok:

@@ -348,11 +348,24 @@ def _batched_onepass_kernel_nobias(q_ref, k_ref, v_ref, o_ref, **kw):
 # (64 MB f32) separates the measured points cleanly.
 PALLAS_MIN_SCORE_ELEMS = 16 * 1024 * 1024
 
+# CAUSAL shapes have a different crossover: XLA's causal attention exploits
+# the triangular structure and stays fast where its bidirectional path falls
+# off the cliff — round-4 probe19 measured XLA at 89.4 us vs 225.6 us packed
+# (0.40x) at the OPT B8xT512 shape (25M score elems, well above the
+# bidirectional gate). The one-pass kernels compute the full (T, T) tile and
+# cannot skip masked work; only the online-softmax recurrence path skips
+# above-diagonal K blocks, and it wins 5.04x at T=4096 (probe11 causal).
+PALLAS_MIN_CAUSAL_T = 2048
 
-def pallas_attention_worthwhile(b: int, h: int, t_q: int, t_k: int) -> bool:
+
+def pallas_attention_worthwhile(
+    b: int, h: int, t_q: int, t_k: int, causal: bool = False
+) -> bool:
     """True where the fused Pallas kernels beat XLA's unfused attention —
     the model-level dispatch gate (VERDICT round-2 #2: if XLA genuinely wins
     a shape, auto-dispatch to it; "fused but slower" fails the bar)."""
+    if causal:
+        return t_k >= PALLAS_MIN_CAUSAL_T
     return b * h * t_q * t_k >= PALLAS_MIN_SCORE_ELEMS
 
 

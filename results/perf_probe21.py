@@ -128,6 +128,41 @@ def bert_probe():
     )
 
 
+def vit_probe():
+    """ViT-base B64 train step: non-causal, above the dispatch gate — the
+    packed Pallas forward AND the packed recompute backward both engage."""
+    from outeffhop_tpu.models.vit import init_vit_params, vit_config, vit_forward
+    from outeffhop_tpu.parallel.train import _make_train_step, init_train_state, make_adamw
+
+    cfg = vit_config("vit_base_patch16_224", attn_softmax="softmax1", dropout=0.0,
+                     attn_dropout=0.0)
+    params = jax.jit(lambda k: to_bf16(init_vit_params(k, cfg)))(jax.random.PRNGKey(0))
+    b = 64
+    rs = np.random.RandomState(0)
+    batch = {
+        "images": jnp.asarray(rs.randn(b, 224, 224, 3), jnp.bfloat16),
+        "labels": jnp.asarray(rs.randint(0, 1000, (b,)), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(1)
+    tx = make_adamw(params, lr=1e-3, warmup_steps=10, total_steps=1000, accum_steps=1)
+
+    for uf in (False, True):
+        def loss_fn(p, bt, r, uf=uf):
+            logits = vit_forward(p, cfg, bt["images"], dropout_rng=r,
+                                 deterministic=True, use_flash=uf)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            return -jnp.mean(jnp.take_along_axis(logp, bt["labels"][:, None], 1))
+
+        step_fn = _make_train_step(loss_fn, tx)
+        state = init_train_state(params, tx)
+        per = bench_train(step_fn, state, batch, rng)
+        print(
+            f"vit_base train B{b} use_flash={uf}: {per*1e3:.2f} ms/step  "
+            f"{b/per:,.0f} img/s",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend(), jax.devices()[0].device_kind, flush=True)
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
@@ -135,3 +170,5 @@ if __name__ == "__main__":
         opt_probe()
     if which in ("bert", "both"):
         bert_probe()
+    if which == "vit":
+        vit_probe()

@@ -134,7 +134,10 @@ def test_bert_forward_with_flash_matches_xla_path(monkeypatch):
 
 def test_short_shapes_auto_dispatch_to_xla():
     """Below the measured crossover the in-model path must NOT call a Pallas
-    kernel (probe12: XLA wins B32xT128 by ~2x) — and above it, it must."""
+    kernel (probe12: XLA wins B32xT128 by ~2x) — and above it, it must.
+    Causal shapes gate separately: XLA's causal attention wins through T=512
+    (probe19 r4: 89.4 us vs 225.6 us packed at OPT B8xT512); the recurrence
+    kernel wins at long T (probe11: 5.04x at T=4096)."""
     from outeffhop_tpu.ops.flash import pallas_attention_worthwhile
 
     assert not pallas_attention_worthwhile(32, 12, 128, 128)   # BERT headline
@@ -143,6 +146,11 @@ def test_short_shapes_auto_dispatch_to_xla():
     assert pallas_attention_worthwhile(32, 12, 256, 256)
     assert pallas_attention_worthwhile(64, 12, 200, 200)       # ViT-base B64
     assert pallas_attention_worthwhile(32, 12, 512, 512)
+    # causal: OPT prefill T<=512 → XLA; long-seq recurrence regime → Pallas
+    assert not pallas_attention_worthwhile(8, 12, 512, 512, causal=True)
+    assert not pallas_attention_worthwhile(64, 12, 512, 512, causal=True)
+    assert pallas_attention_worthwhile(2, 12, 2048, 2048, causal=True)
+    assert pallas_attention_worthwhile(1, 12, 4096, 4096, causal=True)
 
 
 # ---------------------------------------------------------------------------
@@ -414,6 +422,7 @@ def test_opt_packed_flash_path_matches_xla(monkeypatch):
     import dataclasses
 
     monkeypatch.setattr(flash_mod, "PALLAS_MIN_SCORE_ELEMS", 0)
+    monkeypatch.setattr(flash_mod, "PALLAS_MIN_CAUSAL_T", 0)
     rng = np.random.default_rng(24)
     ids = jnp.asarray(rng.integers(0, TINY.vocab_size, (2, 40)), jnp.int32)
     mask = np.ones((2, 40), np.int32)
