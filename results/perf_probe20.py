@@ -52,7 +52,7 @@ def to_bf16(params):
     )
 
 
-def bert_probe():
+def bert_probe(variants=(False, True)):
     from outeffhop_tpu.models.bert import BertConfig, bert_mlm_forward, init_bert_params
 
     cfg = BertConfig(
@@ -67,7 +67,7 @@ def bert_probe():
     )
     mask = jnp.ones((b, t), jnp.int32)
 
-    for uf in (False, True):
+    for uf in variants:
         def step(c, uf=uf):
             return bert_mlm_forward(params, cfg, c, mask, deterministic=True,
                                     use_flash=uf)
@@ -105,7 +105,9 @@ def opt_probe():
 if __name__ == "__main__":
     print("backend:", jax.default_backend(), jax.devices()[0].device_kind, flush=True)
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    sel = sys.argv[2] if len(sys.argv) > 2 else "both"
+    variants = {"noflash": (False,), "flash": (True,), "both": (False, True)}[sel]
     if which in ("bert", "both"):
-        bert_probe()
+        bert_probe(variants)
     if which in ("opt", "both"):
         opt_probe()
