@@ -71,3 +71,27 @@ def test_benchmark_runs_on_cpu():
     f = jax.jit(lambda x: x * 2 + 1)
     t = benchmark(f, jnp.ones((64, 64)), iters=3, warmup=1)
     assert t > 0
+
+
+def test_eval_loop_batched_host_transfer():
+    """eval_loop accumulates on device and crosses the host boundary once
+    (VERDICT r3 #8): mean loss + per-probe means must match a hand-rolled
+    eager reduction; empty batch lists must not divide by zero."""
+    import jax.numpy as jnp
+    from outeffhop_tpu.drivers.common import eval_loop
+
+    def loss_and_count(batch, qctx, tape):
+        x = jnp.asarray(batch, jnp.float32)
+        if tape.enabled:
+            tape.record("probe_x", x)
+        return jnp.sum(x), jnp.asarray(x.size)
+
+    batches = [np.arange(4) + i for i in range(3)]
+    mean, telem = eval_loop(loss_and_count, batches)
+    want = sum(float(np.sum(b)) for b in batches) / 12.0
+    assert abs(mean - want) < 1e-6
+    # probes recorded and aggregated (|inf_norm / |kurtosis suffixed keys)
+    assert telem  # non-empty aggregation
+
+    mean0, telem0 = eval_loop(loss_and_count, [])
+    assert mean0 == 0.0 and telem0 == {}
