@@ -724,6 +724,13 @@ def _packed_bwd_kernel_nobias(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
                        dv_ref, None, **kw)
 
 
+def _packed_bwd_kernel_bias_nodbias(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                                    dq_ref, dk_ref, dv_ref, **kw):
+    # bias present only as the T-padding mask (no primal bias → no dbias out)
+    _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref,
+                       dv_ref, None, **kw)
+
+
 def _packed_bwd_impl(q, k, v, bias, g, opts: "_FlashOpts"):
     """Pallas backward for the packed layout. Raises ValueError when the
     per-program VMEM footprint exceeds budget (caller falls back to the
@@ -780,8 +787,14 @@ def _packed_bwd_impl(q, k, v, bias, g, opts: "_FlashOpts"):
         out_specs.append(pl.BlockSpec((block_b, 1, t_k_pad), lambda i, h: (i, h, 0)))
     validate_block_specs(shapes, kernel="flash_attention_packed_bwd")
 
+    if bias is None:
+        base_kernel = _packed_bwd_kernel_nobias
+    elif had_bias:
+        base_kernel = _packed_bwd_kernel
+    else:  # synthetic padding bias only — no dbias output
+        base_kernel = _packed_bwd_kernel_bias_nodbias
     kernel = functools.partial(
-        _packed_bwd_kernel if bias is not None else _packed_bwd_kernel_nobias,
+        base_kernel,
         scale=opts.scale,
         softmax_n=opts.softmax_n,
         causal=opts.causal,

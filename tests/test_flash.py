@@ -491,3 +491,29 @@ def test_packed_bwd_bias_grad_matches_reference(clip):
             np.asarray(gp), np.asarray(gr), rtol=1e-4, atol=1e-5,
             err_msg=f"lead={lead} clip={clip}",
         )
+
+
+def test_packed_bwd_padded_seq_no_bias():
+    """ViT's case: T not a multiple of 8 and NO primal bias — prep adds a
+    synthetic padding-mask bias with no dbias output (the round-4 on-chip
+    probe21 crash: kernel arity mismatch). Grads must match the reference."""
+    from outeffhop_tpu.ops.flash import flash_attention_packed
+
+    rng = np.random.default_rng(31)
+    q, k, v = make_qkv(rng, b=2, h=4, t_q=37, t_k=37, d=16)
+
+    def loss_p(qp):
+        return jnp.sum(
+            flash_attention_packed(
+                qp, _pack(k), _pack(v), heads=4, softmax_n=1.0, interpret=True
+            ) ** 2
+        )
+
+    def loss_r(qq):
+        return jnp.sum(attention_reference(qq, k, v, softmax_n=1.0) ** 2)
+
+    gp = jax.grad(loss_p)(_pack(q))
+    gr = jax.grad(loss_r)(q)
+    np.testing.assert_allclose(
+        np.asarray(gp), np.asarray(_pack(gr)), rtol=1e-4, atol=1e-5
+    )
