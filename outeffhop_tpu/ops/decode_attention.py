@@ -58,11 +58,12 @@ def _decode_kernel(
 ):
     q = q_ref[0]                     # (H, D)
     k = k_ref[0]                     # (H, B, D) — int8 converts in-register
-    compute_dtype = q.dtype
-    scores = jax.lax.dot_general(
-        k.astype(compute_dtype), q,
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+    # per-head matvec as multiply+lane-reduce on the VPU: Mosaic cannot lower
+    # a batched dot_general with a rank-2 operand (probe22 r4:
+    # `failed to parse TPU_DotDimensionNumbersAttr`), and the step is
+    # HBM-bandwidth-bound on the cache read, not FLOP-bound
+    scores = jnp.sum(
+        k.astype(jnp.float32) * q.astype(jnp.float32)[:, None, :], axis=-1
     )  # (H, B)
     if k_scale_ref is not None:
         scores = scores * k_scale_ref[0]
@@ -87,10 +88,8 @@ def _decode_kernel(
         p_new = jnp.clip(p_new * (eta - gamma) + gamma, 0.0, 1.0)
     if v_scale_ref is not None:
         p = p * v_scale_ref[0]       # exact dequant folded into the probs row
-    ctx = jax.lax.dot_general(
-        p.astype(compute_dtype), v_ref[0].astype(compute_dtype),
-        (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+    ctx = jnp.sum(
+        p[:, :, None] * v_ref[0].astype(jnp.float32), axis=1
     )  # (H, D)
     ctx = ctx + p_new.astype(jnp.float32) * v_new_ref[0].astype(jnp.float32)
     o_ref[0] = ctx.astype(o_ref.dtype)
