@@ -116,6 +116,12 @@ def add_training_args(p: argparse.ArgumentParser):
     g.add_argument("--resume_from_checkpoint", type=str, default=None)
     g.add_argument("--output_dir", type=str, default=None)
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--rng_impl", type=str, default="threefry",
+                   choices=["threefry", "rbg"],
+                   help="dropout PRNG: threefry (counter-based, reproducible "
+                        "across backends) or rbg (TPU hardware RNG via "
+                        "lax.rng_bit_generator — much cheaper per bit on the "
+                        "VPU; see results/perf_probe25.py)")
     g.add_argument("--with_tracking", action="store_true",
                    help="log scalars to JSONL/TB/wandb (args.py:201-220)")
     g.add_argument("--report_to", type=str, default="jsonl",

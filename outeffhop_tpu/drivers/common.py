@@ -133,6 +133,16 @@ def write_results(output_dir: Optional[str], results: dict, verbose: bool = True
             json.dump(results, f, indent=2, default=float)
 
 
+def dropout_key(seed: int, impl: str = "threefry"):
+    """Training dropout PRNG key. `rbg` maps to the TPU's hardware RNG
+    (lax.rng_bit_generator) — an order of magnitude cheaper per random bit
+    than threefry's VPU instruction sequence (results/perf_probe25.py);
+    threefry stays the default for cross-backend reproducibility."""
+    if impl == "rbg":
+        return jax.random.key(seed, impl="rbg")
+    return jax.random.PRNGKey(seed)
+
+
 def cast_params(params, dtype):
     if dtype == "float32":
         return params

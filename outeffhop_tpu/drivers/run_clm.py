@@ -10,6 +10,7 @@ train step → checkpoints → eval perplexity + telemetry.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import math
 import os
@@ -19,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from outeffhop_tpu.drivers import args as A
-from outeffhop_tpu.drivers.common import cast_params, eval_loop, write_results
+from outeffhop_tpu.drivers.common import cast_params, dropout_key, eval_loop, write_results
 from outeffhop_tpu.drivers.validate_clm import make_batches, opt_config_from_args
 from outeffhop_tpu.models.opt import init_opt_params, opt_forward
 from outeffhop_tpu.parallel import make_adamw, make_clm_train_step, make_mesh, shard_params
@@ -53,6 +54,11 @@ def main(argv=None):
     from jax.sharding import NamedSharding
 
     cfg = opt_config_from_args(args)
+    # opt_config_from_args zeroes dropout for the *eval* driver; training uses
+    # the HF opt-125m default (dropout 0.1; attention_dropout stays 0.0)
+    # unless --hidden_dropout is given.
+    if args.hidden_dropout is None:
+        cfg = dataclasses.replace(cfg, dropout=0.1)
     params = cast_params(init_opt_params(jax.random.PRNGKey(args.seed), cfg), args.dtype)
     mesh = make_mesh(n_model=max(args.mesh_model, 1))
     params = shard_params(params, mesh)
@@ -91,7 +97,7 @@ def main(argv=None):
     if args.checkpointing_steps and args.checkpointing_steps != "epoch":
         ckpt_every = int(args.checkpointing_steps)
 
-    rng = jax.random.PRNGKey(args.seed + 7)
+    rng = dropout_key(args.seed + 7, args.rng_impl)
     completed = start_step
     losses = []
     done = False

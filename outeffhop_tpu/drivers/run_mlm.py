@@ -17,6 +17,7 @@ fixed only in the ddp/origin variants) is not replicated.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import math
 import os
@@ -26,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from outeffhop_tpu.drivers import args as A
-from outeffhop_tpu.drivers.common import cast_params, eval_loop, write_results
+from outeffhop_tpu.drivers.common import cast_params, dropout_key, eval_loop, write_results
 from outeffhop_tpu.drivers.validate_mlm import bert_config_from_args, make_batches
 from outeffhop_tpu.models.bert import bert_mlm_forward, init_bert_params, mlm_loss
 from outeffhop_tpu.parallel import make_adamw, make_mesh, make_mlm_train_step, shard_params
@@ -54,6 +55,18 @@ def main(argv=None):
     from jax.sharding import NamedSharding
 
     cfg = bert_config_from_args(args)
+    # bert_config_from_args zeroes dropout for the *eval* drivers; training
+    # uses the HF bert-base defaults (0.1/0.1, reference run_mlm.py builds
+    # AutoConfig) unless the override flags are given.
+    cfg = dataclasses.replace(
+        cfg,
+        hidden_dropout_prob=(
+            args.hidden_dropout if args.hidden_dropout is not None else 0.1
+        ),
+        attention_probs_dropout_prob=(
+            args.attn_dropout if args.attn_dropout is not None else 0.1
+        ),
+    )
     params = init_bert_params(jax.random.PRNGKey(args.seed), cfg)
     params = cast_params(params, args.dtype)
 
@@ -126,7 +139,7 @@ def main(argv=None):
     from outeffhop_tpu.utils.tracking import init_tracker
 
     tracker = init_tracker(args, config=vars(args))
-    rng = jax.random.PRNGKey(args.seed + 7)
+    rng = dropout_key(args.seed + 7, args.rng_impl)
     completed = start_step
     losses = []
     done = False

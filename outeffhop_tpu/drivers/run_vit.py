@@ -38,7 +38,7 @@ import numpy as np
 import optax
 
 from outeffhop_tpu.drivers import args as A
-from outeffhop_tpu.drivers.common import cast_params, write_results
+from outeffhop_tpu.drivers.common import cast_params, dropout_key, write_results
 from outeffhop_tpu.drivers.validate_vit import vit_config_from_args
 from outeffhop_tpu.models.vit import accuracy_topk, init_vit_params, vit_forward
 from outeffhop_tpu.parallel.mesh import batch_pspec, make_mesh, shard_params
@@ -287,7 +287,7 @@ def main(argv=None):
     from outeffhop_tpu.utils.tracking import init_tracker
 
     tracker = init_tracker(args, config=vars(args))
-    rng = jax.random.PRNGKey(args.seed + 99)
+    rng = dropout_key(args.seed + 99, args.rng_impl)
     best_top1, losses, completed = -1.0, [], 0
     batch_sharding = NamedSharding(mesh, batch_pspec())
     for epoch in range(start_epoch, args.num_train_epochs):

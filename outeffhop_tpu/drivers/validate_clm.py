@@ -54,6 +54,7 @@ def opt_config_from_args(args) -> OPTConfig:
         attn_gate_linear_all_features=args.attn_gate_linear_all_features,
         fine_tuning=args.fine_tuning,
         dropout=args.hidden_dropout if args.hidden_dropout is not None else 0.0,
+        attention_dropout=args.attn_dropout if args.attn_dropout is not None else 0.0,
         do_layer_norm_before=not args.no_layer_norm_before,
     )
     if args.config_yaml:

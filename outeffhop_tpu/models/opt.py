@@ -104,6 +104,11 @@ class OPTConfig:
     word_embed_proj_dim: Optional[int] = None  # != hidden → project_in/out (350m)
     do_layer_norm_before: bool = True  # False for 350m
     dropout: float = 0.1
+    # HF OPTConfig.attention_dropout (default 0.0) — the reference's attention
+    # probs dropout (`opt_attention.py` self.dropout=config.attention_dropout)
+    # is a SEPARATE knob from the hidden `dropout`; only this one gates the
+    # fused attention path (hidden dropout composes fine around the kernel).
+    attention_dropout: float = 0.0
     layer_norm_eps: float = 1e-5
     # attention extras
     attn_softmax: str = "vanilla"
@@ -260,7 +265,7 @@ def opt_attention(
         and not tape.enabled
         and not q.act_sites_enabled
         and fused is not None
-        and (deterministic or cfg.dropout == 0.0)
+        and (deterministic or cfg.attention_dropout == 0.0)
         and pallas_attention_worthwhile(b, n_heads, t, t, causal=t > 1)
         and packed_supported(b, t, t, n_heads, cfg.head_dim,
                              hidden_states.dtype.itemsize)
@@ -310,7 +315,7 @@ def opt_attention(
         and hidden_states.shape[1] == 1
         and not tape.enabled
         and not q.act_sites_enabled
-        and (deterministic or cfg.dropout == 0.0)
+        and (deterministic or cfg.attention_dropout == 0.0)
     )
     if isinstance(past_key_value, Int8KV) and not decode_fast:
         raise ValueError(
@@ -339,7 +344,7 @@ def opt_attention(
         and cfg.attn_softmax in ("vanilla", "softmax1")
         and cfg.alpha is None
         and cfg.attn_gate_type == "none"
-        and (deterministic or cfg.dropout == 0.0)
+        and (deterministic or cfg.attention_dropout == 0.0)
         # causal-aware dispatch: XLA's causal attention wins through T=512
         # (probe19 r4); the recurrence kernel's block-skip wins at long T
         # (probe11: 5.04x causal T=4096)
@@ -435,7 +440,7 @@ def opt_attention(
         )
         probs = tape.record("attn_probs_before_dropout", probs)
         probs = q.act("attn_probs", probs)
-        probs = common.dropout(probs, cfg.dropout, dropout_rng, deterministic)
+        probs = common.dropout(probs, cfg.attention_dropout, dropout_rng, deterministic)
         probs = tape.record("attn_probs_after_dropout", probs)
         context = jnp.einsum("bhqk,bhkd->bhqd", probs, v_states)
 

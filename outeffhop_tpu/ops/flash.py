@@ -78,6 +78,26 @@ def _scores(
     return s
 
 
+# Broadcast the (bb, 1, T_k) bias row to the score tile's FULL shape before
+# adding. Mosaic's singleton-sublane broadcast lowering is the same fragile
+# path _causal_keep documents for masks: bias+causal at block_b=1 (OPT
+# B8xT512 -> per-program VMEM forces block_b=1) SIGABRTs ApplyVectorLayout
+# (`limits[i] <= dim(i) (64 vs 1)`, probe23 round 4 — ALL composition levels
+# incl. standalone). Explicit broadcast_in_dim is free (no extra VMEM: the
+# add materializes the full tile anyway) and sidesteps it. The flag exists
+# only so results/perf_probe26.py can A/B the trigger on chip.
+_EXPLICIT_BIAS_BROADCAST = True
+
+
+def _bias_add(s, bias):
+    """s: (bb, T_q, T_k) f32 score tile; bias: (bb, 1, T_k) f32 row."""
+    if bias is None:
+        return s
+    if _EXPLICIT_BIAS_BROADCAST and bias.shape != s.shape:
+        bias = jnp.broadcast_to(bias, s.shape)
+    return s + bias
+
+
 def _causal_keep(shape, causal_offset):
     """Full-shape causal keep-mask (query i attends to keys <= i + offset).
 
@@ -231,8 +251,7 @@ def _batched_onepass_kernel(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # (bb, T_q, T_k)
     s = s * scale
-    if bias_ref is not None:
-        s = s + bias_ref[...].astype(jnp.float32)
+    s = _bias_add(s, bias_ref[...].astype(jnp.float32) if bias_ref is not None else None)
     if causal:
         # full-shape iotas, NOT (1, t_q, t_k) broadcast through the where:
         # Mosaic's ApplyVectorLayout crashed (`limits[i] <= dim(i) (64 vs 1)`,
@@ -419,8 +438,7 @@ def _packed_onepass_kernel(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (bb, T_q, T_k)
         s = s * scale
-        if bias is not None:
-            s = s + bias
+        s = _bias_add(s, bias)
         if causal:
             if causal_keep is None:  # full-shape mask — see _causal_keep
                 causal_keep = _causal_keep(s.shape, causal_offset)
@@ -666,8 +684,7 @@ def _packed_bwd_kernel(
         s = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ) * scale
-        if bias is not None:
-            s = s + bias
+        s = _bias_add(s, bias)
         if causal:
             if causal_keep is None:
                 causal_keep = _causal_keep(s.shape, causal_offset)

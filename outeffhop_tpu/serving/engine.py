@@ -55,19 +55,24 @@ class EngineConfig:
     top_k: int = 0  # 0 → full distribution
     # INT8 KV cache (models/opt.py:Int8KV): halves the decode step's cache
     # HBM traffic at the cost of per-token-per-head symmetric quantization of
-    # K/V at write time. REQUIRES fused_decode on TPU: the XLA lowering
-    # materializes the int8→bf16 conversion and measured 40% SLOWER than the
-    # bf16 cache (round-3 probe17); the Pallas decode kernel DMAs the cache
-    # as int8 and dequantizes in-register (ops/decode_attention.py).
+    # K/V at write time. MEASURED A LOSS at OPT-125m serving shapes (round-3
+    # probe17: 40% slower; round-4 probe22: 2.7x slower at 8 slots x bucket
+    # 512, where the step is weight-streaming-bound — 250 MB of weights vs
+    # ~50 MB of cache — so halving cache traffic cannot pay for the
+    # quant/dequant work). Kept default-off as a memory-capacity option
+    # (halves cache HBM footprint, e.g. 2x the slots at a given budget).
     kv_int8: bool = False
-    # Fused Pallas decode-attention kernel. None → auto (on when the default
-    # backend is TPU); False forces the XLA decode path (CPU tests, debugging).
+    # Fused Pallas decode-attention kernel (ops/decode_attention.py). None →
+    # auto, which resolves to the measured winner: the XLA decode path
+    # (round-4 probe22: the Pallas kernel's per-slot matvecs lose 2.6x to
+    # XLA's batched attention at 8 slots x bucket 512). True forces the
+    # Pallas kernel (kept for re-measurement at future shapes/toolchains).
     fused_decode: Optional[bool] = None
 
     def use_fused_decode(self) -> bool:
         if self.fused_decode is not None:
             return self.fused_decode
-        return jax.default_backend() == "tpu"
+        return False
 
 
 @dataclasses.dataclass
