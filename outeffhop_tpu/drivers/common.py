@@ -70,24 +70,46 @@ def eval_loop(
     `loss_and_count(batch, qctx, tape)` → (sum_loss, n_items). Returns
     (mean_loss, telemetry_dict).
 
-    Host-transfer discipline (VERDICT r3 #8): per-batch values stay ON DEVICE
-    and pipeline asynchronously; everything crosses the host boundary ONCE at
-    the end (one stacked reduction per quantity). The round-3 version called
-    `float(v)` per probe per batch — a blocking ~100 ms tunnel round trip per
-    value on the remote chip, dozens per batch with telemetry on."""
+    Host-boundary discipline (VERDICT r3 #8), two layers:
+      * each batch runs as ONE jitted program — the tape's probe values are
+        auxiliary jitted outputs (the design `ops/telemetry.ProbeTape`
+        documents), so telemetry adds fused reductions to the graph instead
+        of eager per-probe dispatches (round-4 probe24 measured the eager
+        version at 4.3× the telemetry-off eval through the ~100 ms tunnel);
+      * per-batch scalars stay ON DEVICE and pipeline asynchronously;
+        everything crosses the host boundary ONCE at the end (one stacked
+        reduction per quantity — the round-3 version blocked per value)."""
     losses, counts = [], []
     probe_vals: Dict[str, list] = {}
+
+    def make_fn(with_tape: bool):
+        def fn(batch):
+            tape = ProbeTape() if with_tape else None
+            stape = ScopedTape(tape, "")
+            s, n = loss_and_count(batch, qctx, stape)
+            vals = (
+                {k: jnp.asarray(v, jnp.float32).reshape(()) for k, v in tape.values.items()}
+                if tape is not None
+                else {}
+            )
+            return (
+                jnp.asarray(s, jnp.float32).reshape(()),
+                jnp.asarray(n, jnp.float32).reshape(()),
+                vals,
+            )
+
+        return jax.jit(fn)
+
+    compiled = {}
     for i, batch in enumerate(batches):
-        tape = ProbeTape() if collect_telemetry and i < max_telemetry_batches else None
-        stape = ScopedTape(tape, "") if tape is not None else ScopedTape(None, "")
-        s, n = loss_and_count(batch, qctx, stape)
-        losses.append(jnp.asarray(s, jnp.float32).reshape(()))
-        counts.append(jnp.asarray(n, jnp.float32).reshape(()))
-        if tape is not None:
-            for k, v in tape.values.items():
-                probe_vals.setdefault(k, []).append(
-                    jnp.asarray(v, jnp.float32).reshape(())
-                )
+        with_tape = collect_telemetry and i < max_telemetry_batches
+        if with_tape not in compiled:
+            compiled[with_tape] = make_fn(with_tape)
+        s, n, vals = compiled[with_tape](batch)
+        losses.append(s)
+        counts.append(n)
+        for k, v in vals.items():
+            probe_vals.setdefault(k, []).append(v)
     if not losses:
         return 0.0, aggregate_telemetry({})
     keys = sorted(probe_vals)

@@ -30,6 +30,7 @@ device.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional, Tuple
 
 import jax
@@ -145,6 +146,35 @@ class RunningMinMax(RangeEstimator):
         return state
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_bits", "symmetric", "per_channel", "signed")
+)
+def _grid_losses_jit(x, thrs, *, n_bits, symmetric, per_channel, signed):
+    """Module-level jitted grid so the compile is SHARED across all weight
+    tensors of the same shape (a fresh `jax.jit(lambda ...)` per call — the
+    round-4-early version — misses jax's cache on the new function object and
+    recompiled for every tensor: ~seconds per freeze through the remote
+    compiler, times ~72 dense sites per BERT)."""
+    from outeffhop_tpu.quant.fake_quant import (
+        fake_quant,
+        qparams_from_range_asymmetric,
+        qparams_from_range_symmetric,
+    )
+
+    def one(thr):
+        if symmetric:
+            qp = qparams_from_range_symmetric(
+                thr[0], thr[1], n_bits=n_bits, signed=signed
+            )
+        else:
+            qp = qparams_from_range_asymmetric(thr[0], thr[1], n_bits=n_bits)
+        y = fake_quant(x, qp)
+        se = jnp.sum(jnp.square(x - y).reshape(x.shape[0], -1), axis=1)
+        return se if per_channel else jnp.sum(se)[None]
+
+    return jax.lax.map(one, thrs)
+
+
 @dataclasses.dataclass
 class MSEEstimator(RangeEstimator):
     """Grid-search MSE-optimal clipping range (`MSE_Estimator`,
@@ -199,27 +229,13 @@ class MSEEstimator(RangeEstimator):
         grid cell (100 cands x 64 skews x 2 signs = 12,800 round trips for one
         asymmetric weight tensor; minutes through the remote-chip tunnel).
         Returns (n_thresholds, channels)."""
-        from outeffhop_tpu.quant.fake_quant import (
-            fake_quant,
-            qparams_from_range_asymmetric,
-            qparams_from_range_symmetric,
-        )
-
-        n_bits, symmetric, per_channel = self.n_bits, self.symmetric, self.per_channel
-
-        def one(thr):
-            if symmetric:
-                qp = qparams_from_range_symmetric(
-                    thr[0], thr[1], n_bits=n_bits, signed=signed
-                )
-            else:
-                qp = qparams_from_range_asymmetric(thr[0], thr[1], n_bits=n_bits)
-            y = fake_quant(x, qp)
-            se = jnp.sum(jnp.square(x - y).reshape(x.shape[0], -1), axis=1)
-            return se if per_channel else jnp.sum(se)[None]
-
-        losses = jax.jit(lambda t: jax.lax.map(one, t))(
-            jnp.asarray(thrs, jnp.float32)
+        losses = _grid_losses_jit(
+            x,
+            jnp.asarray(thrs, jnp.float32),
+            n_bits=self.n_bits,
+            symmetric=self.symmetric,
+            per_channel=self.per_channel,
+            signed=signed,
         )
         return np.asarray(losses)
 

@@ -77,8 +77,20 @@ def mse_probe():
         t0 = time.perf_counter()
         state = est.update(est.init_state(), w)
         jax.block_until_ready(jnp.zeros(()))  # fence dispatch queue
-        dt = time.perf_counter() - t0
-        print(f"MSE weight freeze [{label}]: {dt:.2f} s", flush=True)
+        cold = time.perf_counter() - t0
+        # steady state: _grid_losses_jit is module-level-jitted, so every
+        # same-shape tensor after the first reuses the compile — the number
+        # that matters for a 72-site model freeze is the warm one
+        w2 = w * 1.01
+        t0 = time.perf_counter()
+        est.update(est.init_state(), w2)
+        jax.block_until_ready(jnp.zeros(()))
+        warm = time.perf_counter() - t0
+        print(
+            f"MSE weight freeze [{label}]: cold {cold:.2f} s (incl. remote "
+            f"compile), warm {warm:.3f} s",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
