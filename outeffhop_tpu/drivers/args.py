@@ -116,6 +116,11 @@ def add_training_args(p: argparse.ArgumentParser):
     g.add_argument("--resume_from_checkpoint", type=str, default=None)
     g.add_argument("--output_dir", type=str, default=None)
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--remat", action="store_true",
+                   help="per-layer jax.checkpoint in the train forward: "
+                        "recompute activations in the backward instead of "
+                        "saving them (larger per-chip batches at ~1/3 extra "
+                        "forward FLOPs)")
     g.add_argument("--rng_impl", type=str, default="threefry",
                    choices=["threefry", "rbg"],
                    help="dropout PRNG: threefry (counter-based, reproducible "

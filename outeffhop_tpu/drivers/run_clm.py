@@ -83,7 +83,8 @@ def main(argv=None):
         grad_norm_type=args.grad_norm_type,
     )
     state = init_train_state(params, tx)
-    step_fn = make_clm_train_step(cfg, tx, mesh=mesh, use_flash=bool(args.use_flash))
+    step_fn = make_clm_train_step(cfg, tx, mesh=mesh, use_flash=bool(args.use_flash),
+                                  remat=args.remat)
 
     start_step = 0
     if args.resume_from_checkpoint:

@@ -224,7 +224,8 @@ def main(argv=None):
 
     def loss_fn(p, images, labels_a, labels_b, lam, rng):
         logits = vit_forward(
-            p, cfg, images, dropout_rng=rng, deterministic=False, use_flash=use_flash
+            p, cfg, images, dropout_rng=rng, deterministic=False,
+            use_flash=use_flash, remat=args.remat,
         )
         la = smoothed_ce(logits, labels_a, args.smoothing)
         lb = smoothed_ce(logits, labels_b, args.smoothing)

@@ -242,20 +242,33 @@ def bert_encoder(
     dropout_rng=None,
     deterministic: bool = True,
     use_flash: bool = False,
+    remat: bool = False,
 ) -> Array:
+    # remat: per-layer jax.checkpoint — recompute activations in the backward
+    # instead of saving them (the standard TPU HBM/FLOPs trade; enables
+    # larger per-chip train batches). No-op when the tape is live: recorded
+    # probe values escape the checkpointed region as a Python-dict side
+    # channel, which rematerialization would discard.
+    use_remat = remat and not tape.enabled
     for i, layer_params in enumerate(params["layers"]):
         rng_i = jax.random.fold_in(dropout_rng, i) if dropout_rng is not None else None
-        x = bert_layer(
-            layer_params,
-            cfg,
-            x,
-            attention_mask,
-            q=q.scoped(f"layer{i}"),
-            tape=tape.scoped(f"layer{i}"),
-            dropout_rng=rng_i,
-            deterministic=deterministic,
-            use_flash=use_flash,
-        )
+
+        def layer_call(lp, xx, rr, i=i):
+            return bert_layer(
+                lp,
+                cfg,
+                xx,
+                attention_mask,
+                q=q.scoped(f"layer{i}"),
+                tape=tape.scoped(f"layer{i}"),
+                dropout_rng=rr,
+                deterministic=deterministic,
+                use_flash=use_flash,
+            )
+
+        if use_remat:
+            layer_call = jax.checkpoint(layer_call)
+        x = layer_call(layer_params, x, rng_i)
     return x
 
 
@@ -270,6 +283,7 @@ def bert_mlm_forward(
     dropout_rng=None,
     deterministic: bool = True,
     use_flash: bool = False,
+    remat: bool = False,
 ) -> Array:
     """Returns MLM logits (B, T, vocab). The cls head runs FP32 always
     (`QuantizedBertForMaskedLM`, quantized_bert.py:865)."""
@@ -284,6 +298,7 @@ def bert_mlm_forward(
     x = bert_encoder(
         params, cfg, x, ext_mask, q=q, tape=tape,
         dropout_rng=rngs[1], deterministic=deterministic, use_flash=use_flash,
+        remat=remat,
     )
     head = params["head"]
     h = common.gelu(x @ head["transform"]["weight"].T + head["transform"]["bias"])

@@ -519,6 +519,7 @@ def opt_forward(
     use_flash: bool = False,
     decode_fast: bool = False,
     fused_decode: bool = False,
+    remat: bool = False,
 ):
     """OPT decoder + LM head → (logits, new_past_key_values).
 
@@ -551,15 +552,30 @@ def opt_forward(
         else [None] * cfg.num_hidden_layers
     )
     h = common.dropout(h, cfg.dropout, rngs[0], deterministic)
+    # remat: per-layer jax.checkpoint (training memory/FLOPs trade). Only on
+    # the no-cache path with the tape off: rematerialization would discard
+    # tape side-channel records, and saving fresh KV as checkpoint outputs
+    # defeats the memory saving — remat callers get new_past = [None]*L.
+    use_remat = remat and past_key_values is None and not tape.enabled
     for i, lp in enumerate(params["layers"]):
         pkv = past_key_values[i] if past_key_values is not None else None
-        h, np_i = opt_decoder_layer(
-            lp, cfg, h, combined_mask,
-            q=q.scoped(f"layer{i}"), tape=tape.scoped(f"layer{i}"),
-            past_key_value=pkv, padding_bias=padding_bias,
-            dropout_rng=rngs[i], deterministic=deterministic, use_flash=use_flash,
-            decode_fast=decode_fast, fused_decode=fused_decode,
-        )
+
+        def layer_call(lp_, h_, rr, i=i, pkv=pkv):
+            return opt_decoder_layer(
+                lp_, cfg, h_, combined_mask,
+                q=q.scoped(f"layer{i}"), tape=tape.scoped(f"layer{i}"),
+                past_key_value=pkv, padding_bias=padding_bias,
+                dropout_rng=rr, deterministic=deterministic, use_flash=use_flash,
+                decode_fast=decode_fast, fused_decode=fused_decode,
+            )
+
+        if use_remat:
+            h = jax.checkpoint(
+                lambda lp_, h_, rr, i=i: layer_call(lp_, h_, rr, i=i)[0]
+            )(lp, h, rngs[i])
+            np_i = None
+        else:
+            h, np_i = layer_call(lp, h, rngs[i])
         new_past.append(np_i)
     h = common.quant_layer_norm(params["final_ln"], h, q, "final_ln", cfg.layer_norm_eps)
     h = tape.record("final_ln", h)

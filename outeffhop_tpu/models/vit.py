@@ -361,6 +361,7 @@ def vit_forward(
     dropout_rng=None,
     deterministic: bool = True,
     use_flash: bool = False,
+    remat: bool = False,
 ) -> Array:
     """(B, H, W, C) images → logits (B, num_classes) (or pooled features when
     num_classes == 0). cls token + pos embedding stay FP
@@ -378,12 +379,19 @@ def vit_forward(
         if dropout_rng is not None
         else [None] * cfg.depth
     )
+    use_remat = remat and not tape.enabled  # see bert_encoder remat note
     for i, bp in enumerate(params["blocks"]):
-        x = vit_block(
-            bp, cfg, x,
-            q=q.scoped(f"block{i}"), tape=tape.scoped(f"block{i}"),
-            dropout_rng=rngs[i], deterministic=deterministic, use_flash=use_flash,
-        )
+
+        def block_call(bp_, x_, rr, i=i):
+            return vit_block(
+                bp_, cfg, x_,
+                q=q.scoped(f"block{i}"), tape=tape.scoped(f"block{i}"),
+                dropout_rng=rr, deterministic=deterministic, use_flash=use_flash,
+            )
+
+        if use_remat:
+            block_call = jax.checkpoint(block_call)
+        x = block_call(bp, x, rngs[i])
     x = common.quant_layer_norm(params["norm"], x, q, "norm", cfg.layer_norm_eps)
     x = tape.record("norm", x)
 

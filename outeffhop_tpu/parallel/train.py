@@ -205,6 +205,7 @@ def make_mlm_train_step(
     use_flash: bool = False,
     qat_config=None,
     grad_scaling: bool = True,
+    remat: bool = False,
 ):
     """BERT MLM train step: batch = dict(input_ids, attention_mask, labels).
 
@@ -224,6 +225,7 @@ def make_mlm_train_step(
             dropout_rng=rng,
             deterministic=False,
             use_flash=use_flash,
+            remat=remat,
         )
         return mlm_loss(logits, batch["labels"])
 
@@ -240,6 +242,7 @@ def make_clm_train_step(
     use_flash: bool = False,
     qat_config=None,
     grad_scaling: bool = True,
+    remat: bool = False,
 ):
     """OPT CLM train step: batch = dict(input_ids, attention_mask, labels)
     with labels = input_ids (`run_clm.py` block packing). `qat_config` enables
@@ -257,6 +260,7 @@ def make_clm_train_step(
             dropout_rng=rng,
             deterministic=False,
             use_flash=use_flash,
+            remat=remat,
         )
         return clm_loss(logits, batch["labels"])
 

@@ -217,3 +217,66 @@ def test_prune_checkpoints(tmp_path):
     left = sorted(os.listdir(tmp_path))
     assert left == ["step_13", "step_9"], left
     assert len(removed) == 2
+
+
+def test_remat_grads_match():
+    """Per-layer jax.checkpoint (`--remat`) must not change the train-step
+    math — grads with remat == grads without, for BERT and OPT (incl. the
+    dropout-rng threading through checkpointed layer calls)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from outeffhop_tpu.models.bert import (
+        BertConfig, bert_mlm_forward, init_bert_params, mlm_loss,
+    )
+    from outeffhop_tpu.models.opt import (
+        OPTConfig, clm_loss, init_opt_params, opt_forward,
+    )
+
+    rs = np.random.RandomState(0)
+    rng = jax.random.PRNGKey(3)
+
+    bcfg = BertConfig(vocab_size=128, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=2, intermediate_size=64,
+                      attn_softmax="softmax1")
+    bp = init_bert_params(jax.random.PRNGKey(0), bcfg)
+    ids = jnp.asarray(rs.randint(0, 128, (2, 16)), jnp.int32)
+    labels = jnp.asarray(rs.randint(0, 128, (2, 16)), jnp.int32)
+
+    def bloss(p, remat):
+        logits = bert_mlm_forward(p, bcfg, ids, jnp.ones_like(ids),
+                                  dropout_rng=rng, deterministic=False,
+                                  remat=remat)
+        return mlm_loss(logits, labels)
+
+    g0 = jax.grad(lambda p: bloss(p, False))(bp)
+    g1 = jax.grad(lambda p: bloss(p, True))(bp)
+    def check(a, b):
+        if a is None or b is None:
+            assert a is None and b is None
+        else:
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+    jax.tree.map(check, g0, g1, is_leaf=lambda x: x is None)
+
+    ocfg = OPTConfig(vocab_size=128, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, ffn_dim=64, attn_softmax="softmax1")
+    op = init_opt_params(jax.random.PRNGKey(1), ocfg)
+
+    def oloss(p, remat):
+        logits, past = opt_forward(p, ocfg, ids, dropout_rng=rng,
+                                   deterministic=False, remat=remat)
+        if remat:
+            assert all(x is None for x in past)  # no KV capture under remat
+        return clm_loss(logits, labels)
+
+    g0 = jax.grad(lambda p: oloss(p, False))(op)
+    g1 = jax.grad(lambda p: oloss(p, True))(op)
+    def check(a, b):
+        if a is None or b is None:
+            assert a is None and b is None
+        else:
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+    jax.tree.map(check, g0, g1, is_leaf=lambda x: x is None)
