@@ -458,6 +458,34 @@ def test_kernel_masks_are_full_shape():
     np.testing.assert_array_equal(np.asarray(m[3]), want)
 
 
+def test_kernel_bias_add_is_full_shape():
+    """Regression for the round-4 on-chip Mosaic crash (probe23: the SAME
+    `limits[i] <= dim(i) (64 vs. 1)` signature at every composition level,
+    bias+causal B8xT512 where block_b=1): the (bb, 1, T_k) bias row must be
+    explicitly broadcast to the score tile's full shape before the add —
+    implicit sublane broadcast in `s + bias` rides the same fragile
+    ApplyVectorLayout path as the masks. `_bias_add` is the single shared
+    add; the explicit-broadcast flag must stay on."""
+    import jax
+
+    from outeffhop_tpu.ops import flash as fm
+
+    assert fm._EXPLICIT_BIAS_BROADCAST is True
+    s = jnp.zeros((4, 16, 24), jnp.float32)
+    bias = jnp.arange(24, dtype=jnp.float32).reshape(1, 1, 24)
+    bias = jnp.broadcast_to(bias, (4, 1, 24))
+    out = fm._bias_add(s, bias)
+    assert out.shape == s.shape
+    np.testing.assert_array_equal(np.asarray(out[2, 7]), np.arange(24))
+    # the add consumes a bias already at full score-tile shape
+    jaxpr = jax.make_jaxpr(fm._bias_add)(s, bias)
+    add_eqns = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "add"]
+    assert add_eqns and all(
+        v.aval.shape == (4, 16, 24) for e in add_eqns for v in e.invars
+    )
+    assert fm._bias_add(s, None) is s
+
+
 @pytest.mark.parametrize("clip", [None, (-0.025, 1.1)])
 def test_packed_bwd_bias_grad_matches_reference(clip):
     """The Pallas packed backward emits per-head-group dbias partials summed
