@@ -155,11 +155,15 @@ def write_results(output_dir: Optional[str], results: dict, verbose: bool = True
             json.dump(results, f, indent=2, default=float)
 
 
-def dropout_key(seed: int, impl: str = "threefry"):
+def dropout_key(seed: int, impl: str = "auto"):
     """Training dropout PRNG key. `rbg` maps to the TPU's hardware RNG
-    (lax.rng_bit_generator) — an order of magnitude cheaper per random bit
-    than threefry's VPU instruction sequence (results/perf_probe25.py);
-    threefry stays the default for cross-backend reproducibility."""
+    (lax.rng_bit_generator); threefry's software counter sequence measured
+    34% of the whole BERT train step on chip, and rbg recovered +46% train
+    throughput (results/probe25_rng.log). `auto` picks rbg on TPU (matching
+    the reference's cheap cuRAND dropout) and threefry elsewhere; pass
+    --rng_impl threefry for bit-reproducibility across backends."""
+    if impl == "auto":
+        impl = "rbg" if jax.default_backend() == "tpu" else "threefry"
     if impl == "rbg":
         return jax.random.key(seed, impl="rbg")
     return jax.random.PRNGKey(seed)

@@ -56,18 +56,21 @@ POS_OFFSET = 2  # OPT's learned positional embedding offset
 class Int8KV(NamedTuple):
     """INT8-quantized KV cache block with per-token-per-head scales.
 
-    Decode is KV-cache-bandwidth-bound (BASELINE.md serving table); storing
-    the cache as int8 halves its HBM traffic. The dequantization is EXACT and
-    free of extra memory traffic because the per-token scales commute with
-    the attention matmuls:
+    Storing the cache as int8 halves its HBM traffic. The dequantization is
+    EXACT and free of extra memory traffic because the per-token scales
+    commute with the attention matmuls:
 
         scores[q,t] = (Q @ K_int8^T)[q,t] * k_scale[t]       (after QK^T)
         context     = (probs * v_scale[t]) @ V_int8          (before PV)
 
-    so the int8 tensors are read directly by the matmuls (XLA fuses the
-    int8→bf16 convert into the dot operand) and the f32 scale vectors are
-    O(T·H) — negligible. New capability beyond the reference (whose KV cache
-    is whatever HF OPT does, fp16 — `modeling_opt` via `run_clm.py:216`).
+    so the int8 tensors are read directly by the matmuls and the f32 scale
+    vectors are O(T·H) — negligible. MEASURED (round-4 probe22/22b): the win
+    only appears where cache traffic actually dominates the decode step —
+    **2.0×** at 32 slots × bucket 2048 (cache ≈ 4.8 GB/step vs 250 MB of
+    weights), but a LOSS at 8 slots × bucket 512 where the step is
+    weight-streaming-bound and the quant/dequant work has nothing to pay for.
+    New capability beyond the reference (whose KV cache is whatever HF OPT
+    does, fp16 — `modeling_opt` via `run_clm.py:216`).
     """
 
     k: Array  # (B, H, T, D) int8

@@ -129,6 +129,25 @@ def decode_attention(
     s, h, d = q.shape
     b = k_cache.shape[2]
     int8 = k_scale is not None
+
+    # per-program VMEM: one slot's K+V cache blocks (double-buffered by the
+    # pipeline) + their in-kernel f32 upcasts + the f32 score rows. Mosaic's
+    # scoped-vmem stack limit is 16 MB; bucket 2048 computes 24.2 MB here and
+    # Mosaic reported exactly 24.00M before SIGABRTing the remote compile
+    # (probe22b) — fail fast on the host with an actionable message instead.
+    blk = h * b * d
+    per_program = (
+        2 * 2 * blk * k_cache.dtype.itemsize  # k+v blocks, double-buffered
+        + 2 * blk * 4  # f32 working copies in the kernel body
+        + 2 * h * b * 4  # score + prob rows
+    )
+    if per_program > 14 * 1024 * 1024:
+        raise ValueError(
+            f"decode_attention block (H={h}, bucket={b}, D={d}, "
+            f"{k_cache.dtype}) needs ~{per_program / 2**20:.1f} MB of VMEM "
+            "per program (> the ~14 MB budget); use the XLA decode path "
+            "(EngineConfig.fused_decode=False) at this cache size"
+        )
     mask3 = mask.reshape(s, 1, b).astype(jnp.float32)
 
     specs = [

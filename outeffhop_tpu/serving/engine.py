@@ -55,12 +55,14 @@ class EngineConfig:
     top_k: int = 0  # 0 → full distribution
     # INT8 KV cache (models/opt.py:Int8KV): halves the decode step's cache
     # HBM traffic at the cost of per-token-per-head symmetric quantization of
-    # K/V at write time. MEASURED A LOSS at OPT-125m serving shapes (round-3
-    # probe17: 40% slower; round-4 probe22: 2.7x slower at 8 slots x bucket
-    # 512, where the step is weight-streaming-bound — 250 MB of weights vs
-    # ~50 MB of cache — so halving cache traffic cannot pay for the
-    # quant/dequant work). Kept default-off as a memory-capacity option
-    # (halves cache HBM footprint, e.g. 2x the slots at a given budget).
+    # K/V at write time. Regime-dependent, both directions MEASURED (round 4):
+    #   * cache-bound (32 slots x bucket 2048, ~4.8 GB cache/step):
+    #     **2.0x faster** — 40.3 -> 20.2 ms/step (probe22b); the int8->bf16
+    #     convert fuses into the attention reads as designed.
+    #   * weight-bound (8 slots x bucket 512, 250 MB weights vs ~50 MB
+    #     cache): 2.7x SLOWER (probe22) — nothing for the halved cache
+    #     traffic to pay for. Default off; enable for long-context /
+    #     many-slot serving (also halves cache HBM footprint).
     kv_int8: bool = False
     # Fused Pallas decode-attention kernel (ops/decode_attention.py). None →
     # auto, which resolves to the measured winner: the XLA decode path

@@ -142,3 +142,22 @@ def test_engine_fused_decode_matches_xla_decode():
     assert set(a) == set(b)
     for rid in a:
         np.testing.assert_array_equal(a[rid], b[rid])
+
+
+def test_decode_attention_vmem_guard():
+    """Big-cache blocks must fail fast on the host (probe22b: 32 slots x
+    bucket 2048 exceeded Mosaic's 16 MB scoped-VMEM stack in the REMOTE
+    compile with an opaque error) — the kernel raises with a pointer to the
+    XLA decode path instead."""
+    import jax.numpy as jnp
+    import pytest
+
+    from outeffhop_tpu.ops.decode_attention import decode_attention
+
+    s, h, b, d = 2, 12, 2048, 64
+    q = jnp.zeros((s, h, d), jnp.bfloat16)
+    kc = jnp.zeros((s, h, b, d), jnp.bfloat16)
+    kn = jnp.zeros((s, h, d), jnp.bfloat16)
+    mask = jnp.zeros((s, b), jnp.float32)
+    with pytest.raises(ValueError, match="fused_decode=False"):
+        decode_attention(q, kc, kc, kn, kn, mask, interpret=True)
