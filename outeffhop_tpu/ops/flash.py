@@ -78,24 +78,38 @@ def _scores(
     return s
 
 
-# Broadcast the (bb, 1, T_k) bias row to the score tile's FULL shape before
-# adding. Mosaic's singleton-sublane broadcast lowering is the same fragile
-# path _causal_keep documents for masks: bias+causal at block_b=1 (OPT
-# B8xT512 -> per-program VMEM forces block_b=1) SIGABRTs ApplyVectorLayout
-# (`limits[i] <= dim(i) (64 vs 1)`, probe23 round 4 — ALL composition levels
-# incl. standalone). Explicit broadcast_in_dim is free (no extra VMEM: the
-# add materializes the full tile anyway) and sidesteps it. The flag exists
-# only so results/perf_probe26.py can A/B the trigger on chip.
-_EXPLICIT_BIAS_BROADCAST = True
+# Fold the (bb, 1, T_k) bias row into the FULL-shape additive mask tensor
+# instead of adding it straight onto the dot output. On-chip bisect history:
+#   * round 3: a (1, t_q, t_k) causal mask broadcast through jnp.where
+#     SIGABRT'd Mosaic's ApplyVectorLayout (`limits[i] <= dim(i) (64 vs 1)`)
+#     — fixed by full-shape iota masks (`_causal_keep`).
+#   * round 4 (probe23 vs probe26): the SAME signature returned for
+#     bias+causal at B8xT512 **only when scale == 1.0** (models fold the
+#     1/sqrt(d) into q, so the `s * scale` multiply between the dot and the
+#     bias add is elided and the singleton-broadcast add lands directly on
+#     the matmul output). With the default scale (a real multiply in
+#     between) the identical call compiles — probe26's unfixed variants all
+#     PASS while probe23's scale=1.0 calls all crashed.
+# Fix: in the causal case, add bias onto the iota-generated mask tensor
+# (register-resident, full shape) and apply ONE full-shape add to the dot
+# output; non-causal keeps the plain add (measured safe at every shape).
+# The flag exists only so results/perf_probe26b.py can A/B on chip.
+_FOLD_BIAS_INTO_MASK = True
 
 
-def _bias_add(s, bias):
-    """s: (bb, T_q, T_k) f32 score tile; bias: (bb, 1, T_k) f32 row."""
-    if bias is None:
-        return s
-    if _EXPLICIT_BIAS_BROADCAST and bias.shape != s.shape:
-        bias = jnp.broadcast_to(bias, s.shape)
-    return s + bias
+def _bias_causal_fold(shape, bias, causal, causal_offset):
+    """Returns the full-shape additive tensor combining the causal mask and
+    the bias row (or None when neither applies). `shape` = score tile shape
+    (bb, T_q, T_k); bias (bb|1, 1, T_k) f32."""
+    if causal:
+        keep = _causal_keep(shape, causal_offset)
+        add = jnp.where(keep, 0.0, NEG_INF)
+        if bias is not None:
+            add = add + bias  # broadcasts onto the iota tensor, not the dot
+        return add
+    if bias is not None:
+        return jnp.broadcast_to(bias, shape)
+    return None
 
 
 def _causal_keep(shape, causal_offset):
@@ -251,13 +265,16 @@ def _batched_onepass_kernel(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # (bb, T_q, T_k)
     s = s * scale
-    s = _bias_add(s, bias_ref[...].astype(jnp.float32) if bias_ref is not None else None)
-    if causal:
-        # full-shape iotas, NOT (1, t_q, t_k) broadcast through the where:
-        # Mosaic's ApplyVectorLayout crashed (`limits[i] <= dim(i) (64 vs 1)`,
-        # probe14 OPT B8xT512 SIGABRT) broadcasting a singleton leading dim
-        # inside the select — the nobias/noncausal variant compiled fine
-        s = jnp.where(_causal_keep(s.shape, causal_offset), s, NEG_INF)
+    bias = bias_ref[...].astype(jnp.float32) if bias_ref is not None else None
+    if _FOLD_BIAS_INTO_MASK:
+        add = _bias_causal_fold(s.shape, bias, causal, causal_offset)
+        if add is not None:
+            s = s + add  # one full-shape add — see _bias_causal_fold
+    else:  # pre-round-4 formulation, kept for perf_probe26b's on-chip A/B
+        if bias is not None:
+            s = s + bias
+        if causal:
+            s = jnp.where(_causal_keep(s.shape, causal_offset), s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     if softmax_n:
         m = jnp.maximum(m, 0.0)  # see softmax_variants.softmax_n
@@ -428,8 +445,10 @@ def _packed_onepass_kernel(
     unrolled at trace time (group is 2 for the BERT/OPT/ViT d=64 families).
     Static lane slices at d-multiples lower to in-register relayouts — no HBM
     traffic, unlike the XLA-materialized (B,H,T,D) transposes this replaces."""
-    causal_keep = None
     bias = bias_ref[...].astype(jnp.float32) if bias_ref is not None else None
+    tile = (q_ref.shape[0], t_q, t_k)
+    add = _bias_causal_fold(tile, bias, causal, causal_offset) if _FOLD_BIAS_INTO_MASK else None
+    causal_keep = None
     for hh in range(group):
         sl = slice(hh * d, (hh + 1) * d)
         q = q_ref[:, :, sl]
@@ -438,11 +457,16 @@ def _packed_onepass_kernel(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (bb, T_q, T_k)
         s = s * scale
-        s = _bias_add(s, bias)
-        if causal:
-            if causal_keep is None:  # full-shape mask — see _causal_keep
-                causal_keep = _causal_keep(s.shape, causal_offset)
-            s = jnp.where(causal_keep, s, NEG_INF)
+        if _FOLD_BIAS_INTO_MASK:
+            if add is not None:
+                s = s + add  # one full-shape add — see _bias_causal_fold
+        else:  # pre-round-4 formulation, kept for perf_probe26b's on-chip A/B
+            if bias is not None:
+                s = s + bias
+            if causal:
+                if causal_keep is None:
+                    causal_keep = _causal_keep(s.shape, causal_offset)
+                s = jnp.where(causal_keep, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         if softmax_n:
             m = jnp.maximum(m, 0.0)  # see softmax_variants.softmax_n
@@ -672,8 +696,12 @@ def _packed_bwd_kernel(
     prob tensors (and their cotangents) in HBM — the train-step analogue of
     the forward kernel's win.
     """
-    causal_keep = None
     bias = bias_ref[...].astype(jnp.float32) if bias_ref is not None else None
+    add = (
+        _bias_causal_fold((q_ref.shape[0], t_q, t_k), bias, causal, causal_offset)
+        if _FOLD_BIAS_INTO_MASK else None
+    )
+    causal_keep = None
     db_acc = None
     for hh in range(group):
         sl = slice(hh * d, (hh + 1) * d)
@@ -684,11 +712,16 @@ def _packed_bwd_kernel(
         s = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ) * scale
-        s = _bias_add(s, bias)
-        if causal:
-            if causal_keep is None:
-                causal_keep = _causal_keep(s.shape, causal_offset)
-            s = jnp.where(causal_keep, s, NEG_INF)
+        if _FOLD_BIAS_INTO_MASK:
+            if add is not None:
+                s = s + add
+        else:
+            if bias is not None:
+                s = s + bias
+            if causal:
+                if causal_keep is None:
+                    causal_keep = _causal_keep(s.shape, causal_offset)
+                s = jnp.where(causal_keep, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         if softmax_n:
             m = jnp.maximum(m, 0.0)

@@ -458,32 +458,37 @@ def test_kernel_masks_are_full_shape():
     np.testing.assert_array_equal(np.asarray(m[3]), want)
 
 
-def test_kernel_bias_add_is_full_shape():
-    """Regression for the round-4 on-chip Mosaic crash (probe23: the SAME
-    `limits[i] <= dim(i) (64 vs. 1)` signature at every composition level,
-    bias+causal B8xT512 where block_b=1): the (bb, 1, T_k) bias row must be
-    explicitly broadcast to the score tile's full shape before the add —
-    implicit sublane broadcast in `s + bias` rides the same fragile
-    ApplyVectorLayout path as the masks. `_bias_add` is the single shared
-    add; the explicit-broadcast flag must stay on."""
+def test_kernel_bias_causal_fold_is_full_shape():
+    """Regression for the round-4 on-chip Mosaic crash (probe23: `limits[i]
+    <= dim(i) (64 vs. 1)` at bias+causal B8xT512 with scale=1.0 — models
+    fold 1/sqrt(d) into q, eliding the multiply between the dot and the
+    bias add, and the singleton-sublane broadcast add directly on the
+    matmul output SIGABRTs ApplyVectorLayout; probe26 showed the identical
+    call compiling with a real scale multiply in between). The kernels must
+    apply ONE full-shape additive tensor built by `_bias_causal_fold`
+    (bias folded onto the iota causal mask), and the fold flag stays on."""
     import jax
 
     from outeffhop_tpu.ops import flash as fm
 
-    assert fm._EXPLICIT_BIAS_BROADCAST is True
-    s = jnp.zeros((4, 16, 24), jnp.float32)
+    assert fm._FOLD_BIAS_INTO_MASK is True
     bias = jnp.arange(24, dtype=jnp.float32).reshape(1, 1, 24)
     bias = jnp.broadcast_to(bias, (4, 1, 24))
-    out = fm._bias_add(s, bias)
-    assert out.shape == s.shape
-    np.testing.assert_array_equal(np.asarray(out[2, 7]), np.arange(24))
-    # the add consumes a bias already at full score-tile shape
-    jaxpr = jax.make_jaxpr(fm._bias_add)(s, bias)
-    add_eqns = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "add"]
-    assert add_eqns and all(
-        v.aval.shape == (4, 16, 24) for e in add_eqns for v in e.invars
-    )
-    assert fm._bias_add(s, None) is s
+
+    # causal: mask and bias combine into one full-shape tensor
+    add = fm._bias_causal_fold((4, 16, 24), bias, True, 8)
+    assert add.shape == (4, 16, 24)
+    keep = np.arange(16)[:, None] + 8 >= np.arange(24)[None, :]
+    want = np.where(keep, np.arange(24)[None, :], fm.NEG_INF + np.arange(24)[None, :])
+    np.testing.assert_allclose(np.asarray(add[2]), want, rtol=1e-6)
+
+    # non-causal: bias broadcast to full shape (no singleton dims survive)
+    add = fm._bias_causal_fold((4, 16, 24), bias, False, 0)
+    assert add.shape == (4, 16, 24)
+    np.testing.assert_array_equal(np.asarray(add[1, 7]), np.arange(24))
+
+    # neither: no additive tensor at all
+    assert fm._bias_causal_fold((4, 16, 24), None, False, 0) is None
 
 
 @pytest.mark.parametrize("clip", [None, (-0.025, 1.1)])
