@@ -111,5 +111,9 @@ if __name__ == "__main__":
             status = "PASS" if r.returncode == 0 else f"CRASH(rc={r.returncode})"
             print(f"{name}: {status}", flush=True)
             if r.returncode != 0:
-                for line in (r.stderr or r.stdout).strip().splitlines()[-3:]:
+                with open(f"results/probe26b_{name}.err", "w") as f:
+                    f.write(r.stdout + "\n=== STDERR ===\n" + r.stderr)
+                err = [l for l in (r.stderr or r.stdout).splitlines()
+                       if "WARNING" not in l and l.strip()]
+                for line in err[-15:]:
                     print(f"    {line}", flush=True)
