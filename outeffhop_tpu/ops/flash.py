@@ -765,7 +765,9 @@ def _packed_bwd_kernel(
             db_h = jnp.sum(ds, axis=1, keepdims=True)  # (bb, 1, T_k)
             db_acc = db_h if db_acc is None else db_acc + db_h
     if dbias_ref is not None:
-        dbias_ref[...] = db_acc
+        # (bb, 8, T_k) slab: partial in row 0, zeros elsewhere (see the
+        # sublane-padded dbias layout in _packed_bwd_impl)
+        dbias_ref[...] = jnp.pad(db_acc, ((0, 0), (0, 7), (0, 0)))
 
 
 def _packed_bwd_kernel_nobias(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
@@ -832,10 +834,26 @@ def _packed_bwd_impl(q, k, v, bias, g, opts: "_FlashOpts"):
     ]
     out_specs = [qspec, kspec, kspec]
     if had_bias:
-        # per-head-group partial dbias rows; summed over groups below
-        out_shapes.append(jax.ShapeDtypeStruct((b, n_groups, t_k_pad), jnp.float32))
-        out_specs.append(pl.BlockSpec((block_b, 1, t_k_pad), lambda i, h: (i, h, 0)))
-    validate_block_specs(shapes, kernel="flash_attention_packed_bwd")
+        # per-head-group partial dbias rows, sublane-padded to 8: a
+        # (block_b, 1, t_k) block over a (b, n_groups, t_k) array is
+        # REJECTED by Mosaic's divisible-by-8-or-equal rule whenever
+        # n_groups > 1 (probe26b new_scale1_grad: OPT h=12 d=64 → group 2,
+        # n_groups 6). Each program owns an 8-row slab, writes its partial
+        # into row 0 and zeros elsewhere; the group sum below is unchanged.
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, n_groups * 8, t_k_pad), jnp.float32)
+        )
+        out_specs.append(pl.BlockSpec((block_b, 8, t_k_pad), lambda i, h: (i, h, 0)))
+    # validate OUTPUT blocks too — the dbias bug above shipped because only
+    # inputs were checked
+    out_check = [
+        ((block_b, t_q_pad, gd), (b, t_q_pad, hd)),
+        ((block_b, t_k_pad, gd), (b, t_k_pad, hd)),
+        ((block_b, t_k_pad, gd), (b, t_k_pad, hd)),
+    ]
+    if had_bias:
+        out_check.append(((block_b, 8, t_k_pad), (b, n_groups * 8, t_k_pad)))
+    validate_block_specs(shapes + out_check, kernel="flash_attention_packed_bwd")
 
     if bias is None:
         base_kernel = _packed_bwd_kernel_nobias

@@ -16,17 +16,23 @@ Every Pallas wrapper in this package calls `validate_block_specs` on its
 in/out specs unconditionally (the check is static Python over static shapes —
 zero trace/runtime cost under jit).
 
-KERNEL-BODY rule (not statically checkable from specs; round-3 probe14):
-Mosaic's ApplyVectorLayout pass SIGABRTs (`Check failed: limits[i] <= dim(i)`)
-when a value with a SINGLETON leading dim is broadcast through `jnp.where`
-against a full-size operand inside a kernel body — e.g. a (1, T, T) causal
-iota selected against (bb, T, T) scores. The spec-level checks above cannot
-see this: the same BlockSpecs compile fine with a full-shape mask. Rule:
-materialize in-kernel masks at the consumer's FULL static shape
-(`ops/flash.py:_causal_keep` is the shared constructor; regression:
-tests/test_flash.py::test_kernel_masks_are_full_shape). Sublane-dim
-broadcasts of loaded blocks — e.g. a (bb, 1, t_k) bias row added to
-(bb, t_q, t_k) scores — are fine (on-chip-validated, probe12/probe19).
+KERNEL-BODY rule (not statically checkable from specs; round-3 probe14 +
+round-4 probe23/26/26b): Mosaic's ApplyVectorLayout pass SIGABRTs
+(`Check failed: limits[i] <= dim(i)`) when a SINGLETON-dim value is
+broadcast against a full-size operand in fragile positions inside a kernel
+body — a (1, T, T) causal iota through `jnp.where` (round 3), and a
+(bb, 1, t_k) bias row added DIRECTLY onto a matmul output (round 4: only
+when scale == 1.0 elides the multiply in between — the identical add
+compiles with a real `s * scale` separating it from the dot; probe26b A/B).
+Rule: materialize in-kernel masks at the consumer's FULL static shape
+(`ops/flash.py:_causal_keep`) and apply bias via ONE full-shape additive
+tensor (`ops/flash.py:_bias_causal_fold`). Regressions:
+tests/test_flash.py::test_kernel_masks_are_full_shape,
+::test_kernel_bias_causal_fold_is_full_shape.
+
+VALIDATE OUTPUT SPECS TOO: the round-4 dbias bug (a (bb, 1, t_k) block over
+a (b, n_groups, t_k) array, illegal whenever n_groups > 1) shipped because
+only input specs were passed to `validate_block_specs`.
 """
 
 from __future__ import annotations

@@ -550,3 +550,45 @@ def test_packed_bwd_padded_seq_no_bias():
     np.testing.assert_allclose(
         np.asarray(gp), np.asarray(_pack(gr)), rtol=1e-4, atol=1e-5
     )
+
+
+def test_packed_bwd_multi_head_group_dbias():
+    """Regression for probe26b new_scale1_grad: with n_groups > 1 (h=12 d=64
+    -> lane group 2, 6 groups) the dbias output block was (bb, 1, t_k) over
+    a (b, 6, t_k) array — rejected by Mosaic's divisible-by-8-or-equal rule
+    at TPU lowering (and invisible to CPU tests because only INPUT specs
+    were validated). The sublane-padded (bb, 8, t_k) slab layout must give
+    the same bias gradient as the jnp reference."""
+    import jax
+
+    from outeffhop_tpu.ops.flash import attention_reference, flash_attention_packed
+
+    rng = np.random.default_rng(7)
+    b, h, t, d = 2, 12, 64, 64
+    q = jnp.asarray(rng.normal(size=(b, t, h * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, t, h * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, t, h * d)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(b, 1, 1, t)), jnp.float32)
+
+    def loss_pallas(bias):
+        out = flash_attention_packed(
+            q, k, v, bias, heads=h, softmax_n=1.0, scale=1.0, causal=True,
+            interpret=True,
+        )
+        return jnp.sum(out * out)
+
+    def unpack(x):
+        return x.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+
+    def loss_ref(bias):
+        out = attention_reference(
+            unpack(q), unpack(k), unpack(v), bias, softmax_n=1.0, scale=1.0,
+            causal=True,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+        return jnp.sum(out * out)
+
+    g_pallas = jax.grad(loss_pallas)(bias)
+    g_ref = jax.grad(loss_ref)(bias)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4)
