@@ -238,7 +238,6 @@ def opt_attention(
     deterministic: bool = True,
     use_flash: bool = False,
     decode_fast: bool = False,
-    fused_decode: bool = False,
 ) -> Tuple[Array, Optional[Tuple[Array, Array]]]:
     """OPT self-attention with extras; scaling folded into q
     (opt_attention.py:167)."""
@@ -368,36 +367,16 @@ def opt_attention(
             scale=1.0,  # already folded into q
             causal=q_states.shape[2] > 1,
         )
-    elif decode_fast and fused_decode and fused is not None:
-        # Fused Pallas decode step (ops/decode_attention.py): the whole
-        # scores→mask→softmax_n(+clip)→PV chain in VMEM, one program per
-        # slot; an int8 cache is DMA'd as int8 (half the bf16 traffic) with
-        # the exact per-token dequant applied in-register — the XLA lowering
-        # materialized the converted cache and measured 40% SLOWER (probe17).
-        from outeffhop_tpu.ops.decode_attention import decode_attention
-
-        kv_int8 = isinstance(past_key_value, Int8KV)
-        pk = past_key_value.k if kv_int8 else past_key_value[0]
-        pv = past_key_value.v if kv_int8 else past_key_value[1]
-        past_mask = (
-            attention_mask[:, 0, 0, :-1]
-            if attention_mask is not None
-            else jnp.zeros((q_states.shape[0], pk.shape[2]), jnp.float32)
-        )
-        ctx = decode_attention(
-            q_states[:, :, 0, :],
-            pk,
-            pv,
-            k_states[:, :, 0, :],
-            v_states[:, :, 0, :],
-            past_mask,
-            k_scale=past_key_value.k_scale if kv_int8 else None,
-            v_scale=past_key_value.v_scale if kv_int8 else None,
-            softmax_n=fused[0],
-            clip=fused[1],
-        )
-        context = ctx[:, :, None, :]
     elif decode_fast:
+        # NOTE a fused Pallas decode-attention kernel was built (round 4,
+        # whole-slot blocks) and rebuilt (round 5, blocked flash-decode with
+        # online-softmax scratch) and adjudicated AGAINST both times:
+        # probe29 measured XLA's decode attention already AT the HBM
+        # roofline (0.347 ms bf16 = 581 GB/s, 0.118 ms int8 = 857 GB/s for
+        # one 32-slot x 2048-bucket layer) with the kernel 2-16x slower
+        # standalone and losing e2e in every regime. The kernel was deleted
+        # (git history: ops/decode_attention.py); the decode-step win came
+        # from the engine's cache write-back scatter instead (probe30).
         kv_int8 = isinstance(past_key_value, Int8KV)
         past_k = (
             past_key_value.k.astype(q_states.dtype) if kv_int8 else past_key_value[0]
@@ -466,7 +445,6 @@ def opt_decoder_layer(
     tape: ScopedTape = NULL_TAPE,
     past_key_value=None,
     decode_fast: bool = False,
-    fused_decode: bool = False,
     padding_bias=None,
     dropout_rng=None,
     deterministic: bool = True,
@@ -484,7 +462,7 @@ def opt_decoder_layer(
         q=q.scoped("self_attn"), tape=tape.scoped("self_attn"),
         past_key_value=past_key_value, padding_bias=padding_bias,
         dropout_rng=rngs[0], deterministic=deterministic, use_flash=use_flash,
-        decode_fast=decode_fast, fused_decode=fused_decode,
+        decode_fast=decode_fast,
     )
     h = common.dropout(h, cfg.dropout, rngs[1], deterministic)
     h = residual + h
@@ -521,7 +499,6 @@ def opt_forward(
     deterministic: bool = True,
     use_flash: bool = False,
     decode_fast: bool = False,
-    fused_decode: bool = False,
     remat: bool = False,
 ):
     """OPT decoder + LM head → (logits, new_past_key_values).
@@ -569,7 +546,7 @@ def opt_forward(
                 q=q.scoped(f"layer{i}"), tape=tape.scoped(f"layer{i}"),
                 past_key_value=pkv, padding_bias=padding_bias,
                 dropout_rng=rr, deterministic=deterministic, use_flash=use_flash,
-                decode_fast=decode_fast, fused_decode=fused_decode,
+                decode_fast=decode_fast,
             )
 
         if use_remat:

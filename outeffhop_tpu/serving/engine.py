@@ -43,6 +43,11 @@ from outeffhop_tpu.models.opt import (
 
 Array = jax.Array
 
+# Decode-step cache write-back formulation, A/B-able in a subprocess matrix
+# (results/perf_probe30.py). False = single stacked scatter per cache array
+# (the measured winner); True = the round-4 per-layer .at[l].set loop.
+_WRITEBACK_LOOP = False
+
 
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
@@ -64,17 +69,12 @@ class EngineConfig:
     #     traffic to pay for. Default off; enable for long-context /
     #     many-slot serving (also halves cache HBM footprint).
     kv_int8: bool = False
-    # Fused Pallas decode-attention kernel (ops/decode_attention.py). None →
-    # auto, which resolves to the measured winner: the XLA decode path
-    # (round-4 probe22: the Pallas kernel's per-slot matvecs lose 2.6x to
-    # XLA's batched attention at 8 slots x bucket 512). True forces the
-    # Pallas kernel (kept for re-measurement at future shapes/toolchains).
-    fused_decode: Optional[bool] = None
-
-    def use_fused_decode(self) -> bool:
-        if self.fused_decode is not None:
-            return self.fused_decode
-        return False
+    # There is deliberately NO fused-Pallas-decode option: two kernel
+    # generations (round-4 whole-slot blocks, round-5 blocked flash-decode)
+    # both measured slower than XLA's decode attention, which probe29 showed
+    # already runs at the HBM roofline (581 GB/s bf16 / 857 GB/s int8 cache
+    # streaming). The decode-step win came from the single-scatter cache
+    # write-back in _decode_body (probe30) instead.
 
 
 @dataclasses.dataclass
@@ -264,33 +264,56 @@ def _decode_body(cfg: OPTConfig, ecfg: EngineConfig, params, state: EngineState,
         ]
     logits, new_past = opt_forward(
         params, cfg, cur, attn_mask, past_key_values=past_list, decode_fast=True,
-        fused_decode=ecfg.use_fused_decode(), q=qctx,
+        q=qctx,
     )
-
-    # scatter the current K/V into each slot's row at its own position
-    def write_slot(cache_row, kv_row, pos):
-        # cache_row (H, max_seq, D) ← kv_row (H, 1, D) at [:, pos, :]
-        return jax.lax.dynamic_update_slice(cache_row, kv_row, (0, pos, 0))
-
-    def write_scale(scale_row, s_val, pos):
-        # scale_row (H, max_seq) ← s_val (H, 1) at [:, pos]
-        return jax.lax.dynamic_update_slice(scale_row, s_val, (0, pos))
 
     ck, cv = state.cache_k, state.cache_v
     sk, sv = state.scale_k, state.scale_v
-    for l, (k_l, v_l) in enumerate(new_past):
-        k_new, v_new = k_l[:, :, -1:], v_l[:, :, -1:]
+    if _WRITEBACK_LOOP:
+        # round-4 formulation, kept for on-chip A/B (probe30): a 12-iteration
+        # python loop of whole-(L,...)-array .at[l].set updates
+        def write_slot(cache_row, kv_row, pos):
+            # cache_row (H, max_seq, D) ← kv_row (H, 1, D) at [:, pos, :]
+            return jax.lax.dynamic_update_slice(cache_row, kv_row, (0, pos, 0))
+
+        def write_scale(scale_row, s_val, pos):
+            # scale_row (H, max_seq) ← s_val (H, 1) at [:, pos]
+            return jax.lax.dynamic_update_slice(scale_row, s_val, (0, pos))
+
+        for l, (k_l, v_l) in enumerate(new_past):
+            k_new, v_new = k_l[:, :, -1:], v_l[:, :, -1:]
+            if ecfg.kv_int8:
+                q8 = quantize_kv(k_new, v_new)
+                k_new, v_new = q8.k, q8.v
+                # q8.*_scale is (slots, H, 1): vmapped over slots → (H, 1)
+                sk = sk.at[l].set(jax.vmap(write_scale)(sk[l], q8.k_scale, len_km1))
+                sv = sv.at[l].set(jax.vmap(write_scale)(sv[l], q8.v_scale, len_km1))
+            else:
+                k_new = k_new.astype(ck.dtype)
+                v_new = v_new.astype(cv.dtype)
+            ck = ck.at[l].set(jax.vmap(write_slot)(ck[l], k_new, len_km1))
+            cv = cv.at[l].set(jax.vmap(write_slot)(cv[l], v_new, len_km1))
+    else:
+        # ONE scatter per cache array: stack every layer's current-token K/V
+        # into (L, S, H, D) and write all L*S rows in a single
+        # scatter-into-donated-buffer. The per-layer .at[l].set chain above
+        # defeated XLA's in-place update analysis inside the scanned decode
+        # body — each of its 12 iterations copied the whole (L, S, H, T, D)
+        # pool, which probe29 measured as ~37 ms of the 42 ms big-cache step.
+        new_k = jnp.stack([k[:, :, -1, :] for k, _ in new_past])  # (L,S,H,D)
+        new_v = jnp.stack([v[:, :, -1, :] for _, v in new_past])
+        ladv = jnp.arange(L)[:, None]
+        sadv = jnp.arange(S)[None, :]
         if ecfg.kv_int8:
-            q8 = quantize_kv(k_new, v_new)
-            k_new, v_new = q8.k, q8.v
-            # q8.*_scale is (slots, H, 1): vmapped over slots → (H, 1)
-            sk = sk.at[l].set(jax.vmap(write_scale)(sk[l], q8.k_scale, len_km1))
-            sv = sv.at[l].set(jax.vmap(write_scale)(sv[l], q8.v_scale, len_km1))
+            q8 = quantize_kv(new_k[:, :, :, None, :], new_v[:, :, :, None, :])
+            new_k, new_v = q8.k[..., 0, :], q8.v[..., 0, :]
+            sk = sk.at[ladv, sadv, :, len_km1[None, :]].set(q8.k_scale[..., 0])
+            sv = sv.at[ladv, sadv, :, len_km1[None, :]].set(q8.v_scale[..., 0])
         else:
-            k_new = k_new.astype(ck.dtype)
-            v_new = v_new.astype(cv.dtype)
-        ck = ck.at[l].set(jax.vmap(write_slot)(ck[l], k_new, len_km1))
-        cv = cv.at[l].set(jax.vmap(write_slot)(cv[l], v_new, len_km1))
+            new_k = new_k.astype(ck.dtype)
+            new_v = new_v.astype(cv.dtype)
+        ck = ck.at[ladv, sadv, :, len_km1[None, :], :].set(new_k)
+        cv = cv.at[ladv, sadv, :, len_km1[None, :], :].set(new_v)
 
     nxt = _sample(logits[:, -1], rng, ecfg.temperature, ecfg.top_k)
     nxt = jnp.where(state.active, nxt, ecfg.pad_token_id)
@@ -366,11 +389,49 @@ class ServingEngine:
     """
 
     def __init__(self, params, cfg: OPTConfig, ecfg: EngineConfig, dtype=jnp.float32,
-                 int8_weights: bool = False):
-        self.params = params
+                 int8_weights: bool = False, mesh=None):
+        """`mesh`: optional `jax.sharding.Mesh` with a `model` axis — serve
+        tensor-parallel. Params shard Megatron-style (parallel/mesh.py rules),
+        the KV slot pool shards head-parallel (heads are column-parallel with
+        q/k/v, so each device attends over its own heads and the out-proj
+        all-reduce is the block's single collective). The prefill/decode
+        programs are UNCHANGED — XLA propagates the operand shardings and
+        inserts the collectives (same approach as parallel/train.py)."""
         self.cfg = cfg
         self.ecfg = ecfg
-        self.state = init_state(cfg, ecfg, dtype)
+        self.mesh = mesh
+        state = init_state(cfg, ecfg, dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from outeffhop_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
+            n_model = mesh.shape["model"]
+            head_axis = (
+                "model" if cfg.num_attention_heads % n_model == 0 else None
+            )
+            cache_spec = P(None, None, head_axis, None, None)
+            scale_spec = P(None, None, head_axis, None)
+
+            def place(x, spec):
+                return (
+                    jax.device_put(x, NamedSharding(mesh, spec))
+                    if x is not None
+                    else None
+                )
+
+            state = EngineState(
+                cache_k=place(state.cache_k, cache_spec),
+                cache_v=place(state.cache_v, cache_spec),
+                tokens=place(state.tokens, P()),
+                lengths=place(state.lengths, P()),
+                active=place(state.active, P()),
+                scale_k=place(state.scale_k, scale_spec),
+                scale_v=place(state.scale_v, scale_spec),
+            )
+        self.params = params
+        self.state = state
         self._qctx = make_int8_weight_ctx(params, cfg) if int8_weights else None
         self._prefill = make_prefill(cfg, ecfg, self._qctx)
         # all decoding (incl. chunk=1) dispatches through the (chunk, bucket)
