@@ -278,3 +278,49 @@ def test_engine_kv_int8_composes_with_int8_weights(opt):
     both = run(True, True)
     for a, b in zip(base, both):
         np.testing.assert_array_equal(a, b)
+
+
+def test_engine_tensor_parallel_matches_single_device(opt):
+    """TP serving: a ('data','model') mesh with model=2 shards params
+    Megatron-style and the KV pool head-parallel; greedy outputs must be
+    IDENTICAL to the unsharded engine (collectives are exact for these
+    reductions)."""
+    from outeffhop_tpu.parallel.mesh import make_mesh
+
+    cfg, params = opt
+    prompts = [np.random.RandomState(30 + i).randint(3, 120, 4 + i) for i in range(4)]
+
+    def run(mesh):
+        ecfg = EngineConfig(max_slots=2, max_seq=40, max_prompt=16,
+                            eos_token_id=999)
+        eng = ServingEngine(params, cfg, ecfg, mesh=mesh)
+        rids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+        res = eng.run(decode_chunk=2)
+        return [res[r] for r in rids]
+
+    base = run(None)
+    tp = run(make_mesh(n_model=2))
+    for a, b in zip(base, tp):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_engine_tensor_parallel_kv_int8(opt):
+    """TP x int8-KV: the head-parallel scale pools and int8 caches compose
+    with the mesh."""
+    from outeffhop_tpu.parallel.mesh import make_mesh
+
+    cfg, params = opt
+    prompts = [np.random.RandomState(40 + i).randint(3, 120, 5) for i in range(3)]
+
+    def run(mesh, kv_int8):
+        ecfg = EngineConfig(max_slots=2, max_seq=40, max_prompt=16,
+                            eos_token_id=999, kv_int8=kv_int8)
+        eng = ServingEngine(params, cfg, ecfg, mesh=mesh)
+        rids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+        res = eng.run(decode_chunk=2)
+        return [res[r] for r in rids]
+
+    base = run(None, True)
+    tp = run(make_mesh(n_model=2), True)
+    for a, b in zip(base, tp):
+        np.testing.assert_array_equal(a, b)
