@@ -14,6 +14,7 @@ per-channel weight quantization is along axis 0 in both frameworks.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -87,6 +88,45 @@ def dense(
     return q.act(name, y)
 
 
+# Embedding-table backward formulation. True (default): one-hot MXU matmul —
+# XLA lowers jnp.take's backward as a scatter-add over the (vocab, H) table,
+# which probe28 measured at ~4.8 ms/step of the BERT-base MLM backward
+# (frozemb row); the one-hot dot streams the same cotangents through the MXU
+# instead. False: the plain scatter (kept for A/B, results/perf_probe31.py).
+_EMBED_MATMUL_BWD = True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _embed_lookup_impl(spec, w: Array, ids: Array) -> Array:
+    del spec
+    return jnp.take(w, ids, axis=0)
+
+
+def _embed_lookup_fwd(spec, w, ids):
+    del spec
+    return jnp.take(w, ids, axis=0), ids
+
+
+def _embed_lookup_bwd(spec, ids, g):
+    vocab, wdtype = spec
+    flat = ids.reshape(-1)                      # (N,)
+    gf = g.reshape(-1, g.shape[-1])             # (N, H)
+    # dW[v] = Σ_{i: ids_i = v} g_i  as  one_hot(ids)^T @ g — an MXU matmul
+    # with f32 accumulation (order-independent, unlike the scatter)
+    oh = jax.nn.one_hot(flat, vocab, dtype=gf.dtype)
+    dw = jax.lax.dot_general(
+        oh, gf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return dw.astype(wdtype), None
+
+
+_embed_lookup_impl.defvjp(_embed_lookup_fwd, _embed_lookup_bwd)
+
+
+def _embed_lookup(w: Array, ids: Array) -> Array:
+    return _embed_lookup_impl((w.shape[0], str(w.dtype)), w, ids)
+
+
 def embedding(
     params,
     ids: Array,
@@ -97,6 +137,8 @@ def embedding(
     (already quantized) weight rows, so no act quantizer (`QuantEmbedding`,
     `autoquant_utils.py:75-92`)."""
     w = q.weight(name, params["weight"], per_channel_axis=None)
+    if _EMBED_MATMUL_BWD:
+        return _embed_lookup(w, ids)
     return jnp.take(w, ids, axis=0)
 
 

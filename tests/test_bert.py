@@ -288,3 +288,46 @@ def test_bert_pooler_and_model_forward():
     ctx = QuantCtx.discover(QuantizedModelConfig())
     bert_model_forward(params, cfg, ids, q=ScopedQuantCtx(ctx, ""))
     assert any("pooler" in n for n in ctx.discovered_weights)
+
+
+def test_embedding_matmul_backward_matches_scatter():
+    """The one-hot-matmul embedding backward (models/common.py:_embed_lookup)
+    must produce the same table gradient as jnp.take's scatter-add backward,
+    including repeated ids."""
+    import outeffhop_tpu.models.common as common
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(17, 8)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 17, size=(3, 5)), jnp.int32)
+    # repeated ids in one batch exercise the accumulate path
+    ids = ids.at[0, :3].set(4)
+
+    def loss_new(w):
+        return jnp.sum(common._embed_lookup(w, ids) ** 2)
+
+    def loss_ref(w):
+        return jnp.sum(jnp.take(w, ids, axis=0) ** 2)
+
+    g_new = jax.grad(loss_new)(w)
+    g_ref = jax.grad(loss_ref)(w)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_embedding_backward_through_quant_ste():
+    """The custom_vjp composes with the weight fake-quant STE: grads reach the
+    original fp table."""
+    from outeffhop_tpu.models import common
+
+    w = jnp.linspace(-1.0, 1.0, 24, dtype=jnp.float32).reshape(12, 2)
+    ids = jnp.asarray([[0, 3, 3, 7]], jnp.int32)
+
+    def loss(w):
+        return jnp.sum(common._embed_lookup(w, ids) * 2.0)
+
+    g = jax.grad(loss)(w)
+    assert np.asarray(g).shape == (12, 2)
+    # row 3 appears twice -> gradient 2x of single-occurrence rows
+    np.testing.assert_allclose(np.asarray(g)[3], [4.0, 4.0])
+    np.testing.assert_allclose(np.asarray(g)[0], [2.0, 2.0])
+    np.testing.assert_allclose(np.asarray(g)[1], [0.0, 0.0])
