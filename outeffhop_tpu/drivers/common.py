@@ -58,6 +58,25 @@ def build_quant_ctx(
     return ScopedQuantCtx(QuantCtx.run(config, wq, aq, int8_dense=int8_map), "")
 
 
+def token_nll(logits, labels, ignore_index=-100, shift=False):
+    """(sum of per-token NLL, token count) in the logsumexp formulation —
+    -logp[y] = logsumexp(logits) - logits[y], so the (B, S, V) f32
+    log-probability tensor is never materialized (probe28: ~1 ms/step of
+    pure HBM traffic on BERT-base at B32xS128). Shared by every MLM/CLM
+    driver loss; `shift=True` applies the causal-LM one-token shift."""
+    if shift:
+        logits = logits[:, :-1]
+        labels = labels[:, 1:]
+    mask = labels != ignore_index
+    safe = jnp.where(mask, labels, 0)
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(
+        logits, safe[..., None], axis=-1
+    )[..., 0].astype(jnp.float32)
+    nll = lse - picked
+    return jnp.sum(jnp.where(mask, nll, 0.0)), jnp.sum(mask)
+
+
 def eval_loop(
     loss_and_count: Callable,
     batches: Iterable,

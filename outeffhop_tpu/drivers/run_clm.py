@@ -20,7 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from outeffhop_tpu.drivers import args as A
-from outeffhop_tpu.drivers.common import cast_params, dropout_key, eval_loop, write_results
+from outeffhop_tpu.drivers.common import (
+    cast_params, dropout_key, eval_loop, token_nll, write_results,
+)
 from outeffhop_tpu.drivers.validate_clm import make_batches, opt_config_from_args
 from outeffhop_tpu.models.opt import init_opt_params, opt_forward
 from outeffhop_tpu.parallel import make_adamw, make_clm_train_step, make_mesh, shard_params
@@ -143,11 +145,7 @@ def main(argv=None):
             q=qctx, tape=tape, deterministic=True,
         )
         labels = jnp.asarray(batch["labels"])
-        shift_logits = logits[:, :-1]
-        shift_labels = labels[:, 1:]
-        logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, shift_labels[..., None], axis=-1)[..., 0]
-        return jnp.sum(nll), shift_labels.size
+        return token_nll(logits, labels, shift=True)
 
     eval_loss, telem = eval_loop(loss_and_count, eval_batches)
     results = {

@@ -27,7 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from outeffhop_tpu.drivers import args as A
-from outeffhop_tpu.drivers.common import cast_params, dropout_key, eval_loop, write_results
+from outeffhop_tpu.drivers.common import (
+    cast_params, dropout_key, eval_loop, token_nll, write_results,
+)
 from outeffhop_tpu.drivers.validate_mlm import bert_config_from_args, make_batches
 from outeffhop_tpu.models.bert import bert_mlm_forward, init_bert_params, mlm_loss
 from outeffhop_tpu.parallel import make_adamw, make_mesh, make_mlm_train_step, shard_params
@@ -224,11 +226,7 @@ def main(argv=None):
             q=qctx, tape=tape, deterministic=True,
         )
         labels = jnp.asarray(batch["labels"])
-        mask = labels != -100
-        safe = jnp.where(mask, labels, 0)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-        return jnp.sum(jnp.where(mask, nll, 0.0)), jnp.sum(mask)
+        return token_nll(logits, labels)
 
     if eval_qctx is not None:
         eval_loss, telem = eval_loop(loss_and_count, eval_batches, qctx=eval_qctx)

@@ -25,6 +25,7 @@ from outeffhop_tpu.drivers.common import (
     build_quant_ctx,
     cast_params,
     eval_loop,
+    token_nll,
     write_results,
 )
 from outeffhop_tpu.models.opt import OPTConfig, init_opt_params, opt_forward
@@ -149,11 +150,7 @@ def main(argv=None):
     def loss_and_count(batch, qctx, tape):
         logits = fwd(batch, qctx, tape)
         labels = jnp.asarray(batch["labels"])
-        shift_logits = logits[:, :-1]
-        shift_labels = labels[:, 1:]
-        logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, shift_labels[..., None], axis=-1)[..., 0]
-        return jnp.sum(nll), shift_labels.size
+        return token_nll(logits, labels, shift=True)
 
     results = {}
     fp_loss, fp_telem = eval_loop(loss_and_count, eval_batches, max_telemetry_batches=100)

@@ -31,6 +31,7 @@ from outeffhop_tpu.drivers.common import (
     build_quant_ctx,
     cast_params,
     eval_loop,
+    token_nll,
     write_results,
 )
 from outeffhop_tpu.models.bert import BertConfig, bert_mlm_forward, init_bert_params
@@ -171,11 +172,7 @@ def main(argv=None):
     def loss_and_count(batch, qctx, tape):
         logits = fwd(batch, qctx, tape)
         labels = jnp.asarray(batch["labels"])
-        mask = labels != -100
-        safe = jnp.where(mask, labels, 0)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-        return jnp.sum(jnp.where(mask, nll, 0.0)), jnp.sum(mask)
+        return token_nll(logits, labels)
 
     results = {}
     fp_loss, fp_telem = eval_loop(loss_and_count, eval_batches)

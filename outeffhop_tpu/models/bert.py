@@ -354,10 +354,18 @@ def bert_model_forward(
 
 def mlm_loss(logits: Array, labels: Array, ignore_index: int = -100) -> Array:
     """Mean CE over non-ignored positions; exp(loss) is the reference's
-    perplexity (`validate_mlm_config.py:542-548`)."""
-    vocab = logits.shape[-1]
+    perplexity (`validate_mlm_config.py:542-548`).
+
+    Formulated as logsumexp(logits) - logits[label] rather than a gather from
+    a full log_softmax: identical values (-logp[y] = lse - logit[y]; probe28
+    measured bit-equal loss on chip), but the (B, S, V) f32 log-probability
+    tensor is never materialized — its fwd+bwd HBM traffic was ~1 ms of the
+    28.7 ms BERT-base train step (probe28 full vs full+lse)."""
     mask = labels != ignore_index
     safe_labels = jnp.where(mask, labels, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(
+        logits, safe_labels[..., None], axis=-1
+    )[..., 0].astype(jnp.float32)
+    nll = lse - picked
     return jnp.sum(jnp.where(mask, nll, 0.0)) / jnp.maximum(jnp.sum(mask), 1)

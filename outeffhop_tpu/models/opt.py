@@ -574,13 +574,17 @@ def opt_forward(
 
 def clm_loss(logits: Array, labels: Array, ignore_index: int = -100) -> Array:
     """Shifted causal-LM cross entropy; exp(loss) is the reference perplexity
-    (`validate_clm.py:588-594`; labels = input_ids, run_clm.py packing)."""
+    (`validate_clm.py:588-594`; labels = input_ids, run_clm.py packing).
+    logsumexp formulation — see models/bert.py:mlm_loss for the rationale."""
     shift_logits = logits[:, :-1]
     shift_labels = labels[:, 1:]
     mask = shift_labels != ignore_index
     safe = jnp.where(mask, shift_labels, 0)
-    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    lse = jax.scipy.special.logsumexp(shift_logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(
+        shift_logits, safe[..., None], axis=-1
+    )[..., 0].astype(jnp.float32)
+    nll = lse - picked
     return jnp.sum(jnp.where(mask, nll, 0.0)) / jnp.maximum(jnp.sum(mask), 1)
 
 

@@ -45,7 +45,7 @@ def main():
     common._EMBED_MATMUL_BWD = use_embed
 
     from outeffhop_tpu.models.bert import (
-        BertConfig, bert_mlm_forward, init_bert_params, mlm_loss,
+        BertConfig, bert_mlm_forward, init_bert_params,
     )
     from outeffhop_tpu.parallel.train import (
         _make_train_step, init_train_state, make_adamw,
@@ -71,13 +71,20 @@ def main():
         )[..., 0].astype(jnp.float32)
         return jnp.mean(lse - picked)
 
+    def loss_old(logits, labels):
+        # the pre-round-5 mlm_loss formulation, inlined so this probe stays
+        # a valid A/B after the library switches to the lse form
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        return jnp.mean(nll)
+
     def loss_fn(p, bt, r):
         logits = bert_mlm_forward(
             p, cfg, bt["input_ids"], None, deterministic=True
         )
         if use_lse:
             return loss_lse(logits, bt["labels"])
-        return mlm_loss(logits, bt["labels"])
+        return loss_old(logits, bt["labels"])
 
     tx = make_adamw(params, lr=1e-4, warmup_steps=10, total_steps=1000,
                     clip_norm=1.0, accum_steps=1)
