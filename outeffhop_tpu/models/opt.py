@@ -638,10 +638,13 @@ def greedy_generate(
             decode_fast=True,
         )
         # new_past concatenated past+current has length total+1; instead write
-        # the current k/v directly at position pos_len
-        for l, (k_i, v_i) in enumerate(new_past):
-            cache_k = cache_k.at[l, :, :, pos_len].set(k_i[:, :, -1].astype(cache_k.dtype))
-            cache_v = cache_v.at[l, :, :, pos_len].set(v_i[:, :, -1].astype(cache_v.dtype))
+        # the current k/v directly at position pos_len — ONE dynamic_update_
+        # slice over the stacked (L, B, H, 1, D) block (the per-layer .at[l]
+        # chain copied the whole pool per layer inside the scan, probe29/30)
+        new_k = jnp.stack([k_i[:, :, -1:] for k_i, _ in new_past]).astype(cache_k.dtype)
+        new_v = jnp.stack([v_i[:, :, -1:] for _, v_i in new_past]).astype(cache_v.dtype)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, new_k, (0, 0, 0, pos_len, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, new_v, (0, 0, 0, pos_len, 0))
         nxt = jnp.argmax(logits[:, -1], axis=-1)
         tokens = jax.lax.dynamic_update_slice_in_dim(
             tokens, nxt[:, None].astype(jnp.int32), t0 + i + 1, axis=1

@@ -37,8 +37,10 @@ def to_bf16(params):
 
 def main():
     cellname = sys.argv[1]
-    use_embed = cellname in ("embed", "both")
-    use_lse = cellname in ("lse", "both")
+    model = "opt" if cellname.startswith("opt_") else "bert"
+    mode = cellname.split("_", 1)[-1] if model == "opt" else cellname
+    use_embed = mode in ("embed", "both")
+    use_lse = mode in ("lse", "both")
 
     import outeffhop_tpu.models.common as common
 
@@ -53,11 +55,20 @@ def main():
 
     print("backend:", jax.default_backend(), jax.devices()[0].device_kind,
           flush=True)
-    cfg = BertConfig(attn_softmax="softmax1")
-    params = jax.jit(lambda k: to_bf16(init_bert_params(k, cfg)))(
-        jax.random.PRNGKey(0)
-    )
-    b, s = 32, 128
+    if model == "opt":
+        from outeffhop_tpu.models.opt import OPTConfig, init_opt_params, opt_forward
+
+        cfg = OPTConfig(attn_softmax="softmax1", dropout=0.0)
+        params = jax.jit(lambda k: to_bf16(init_opt_params(k, cfg)))(
+            jax.random.PRNGKey(0)
+        )
+        b, s = 8, 512
+    else:
+        cfg = BertConfig(attn_softmax="softmax1")
+        params = jax.jit(lambda k: to_bf16(init_bert_params(k, cfg)))(
+            jax.random.PRNGKey(0)
+        )
+        b, s = 32, 128
     rs = np.random.RandomState(0)
     batch = {
         "input_ids": jnp.asarray(rs.randint(0, cfg.vocab_size, (b, s)), jnp.int32),
@@ -79,12 +90,20 @@ def main():
         return jnp.mean(nll)
 
     def loss_fn(p, bt, r):
-        logits = bert_mlm_forward(
-            p, cfg, bt["input_ids"], None, deterministic=True
-        )
+        if model == "opt":
+            logits, _ = opt_forward(
+                p, cfg, bt["input_ids"], deterministic=True,
+                use_flash=jax.default_backend() == "tpu",
+            )
+            logits, labels = logits[:, :-1], bt["labels"][:, 1:]
+        else:
+            logits = bert_mlm_forward(
+                p, cfg, bt["input_ids"], None, deterministic=True
+            )
+            labels = bt["labels"]
         if use_lse:
-            return loss_lse(logits, bt["labels"])
-        return loss_old(logits, bt["labels"])
+            return loss_lse(logits, labels)
+        return loss_old(logits, labels)
 
     tx = make_adamw(params, lr=1e-4, warmup_steps=10, total_steps=1000,
                     clip_norm=1.0, accum_steps=1)
@@ -116,10 +135,14 @@ def main():
     t_lo, t_hi = best_of(3), best_of(9)
     per = max((t_hi - t_lo) / 6, 1e-9)
     tok = b * s / per
-    flops = 3 * 926.7e9  # fwd 926.7 GFLOP (bench.py cost analysis), bwd ~2x
-    print(f"{cellname}: {per*1e3:.2f} ms/step  {tok:,.0f} tok/s  "
-          f"~{flops/per/1e12:.1f} TFLOP/s ({flops/per/197e12*100:.0f}% bf16 peak)",
-          flush=True)
+    if model == "bert":
+        flops = 3 * 926.7e9  # fwd 926.7 GFLOP (bench.py cost analysis), bwd ~2x
+        print(f"{cellname}: {per*1e3:.2f} ms/step  {tok:,.0f} tok/s  "
+              f"~{flops/per/1e12:.1f} TFLOP/s "
+              f"({flops/per/197e12*100:.0f}% bf16 peak)", flush=True)
+    else:
+        print(f"{cellname}: {per*1e3:.2f} ms/step  {tok:,.0f} tok/s",
+              flush=True)
 
 
 if __name__ == "__main__":
