@@ -121,6 +121,11 @@ def add_training_args(p: argparse.ArgumentParser):
                         "recompute activations in the backward instead of "
                         "saving them (larger per-chip batches at ~1/3 extra "
                         "forward FLOPs)")
+    g.add_argument("--remat_policy", choices=["full", "dots"], default="full",
+                   help="remat recompute policy: full = save only layer "
+                        "inputs; dots = XLA dots_with_no_batch_dims_saveable "
+                        "(matmul outputs saved, only elementwise recomputes "
+                        "- lower recompute tax, smaller memory saving)")
     g.add_argument("--rng_impl", type=str, default="auto",
                    choices=["auto", "threefry", "rbg"],
                    help="dropout PRNG. auto = rbg on TPU, threefry elsewhere. "

@@ -86,7 +86,7 @@ def main(argv=None):
     )
     state = init_train_state(params, tx)
     step_fn = make_clm_train_step(cfg, tx, mesh=mesh, use_flash=bool(args.use_flash),
-                                  remat=args.remat)
+                                  remat=args.remat_policy if args.remat else False)
 
     start_step = 0
     if args.resume_from_checkpoint:

@@ -123,7 +123,7 @@ def main(argv=None):
     step_fn = make_mlm_train_step(
         cfg, tx, mesh=mesh, use_flash=bool(args.use_flash),
         qat_config=qat_config, grad_scaling=not args.no_range_grad_scaling,
-        remat=args.remat,
+        remat=args.remat_policy if args.remat else False,
     )
 
     start_step = 0

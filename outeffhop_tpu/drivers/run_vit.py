@@ -225,7 +225,7 @@ def main(argv=None):
     def loss_fn(p, images, labels_a, labels_b, lam, rng):
         logits = vit_forward(
             p, cfg, images, dropout_rng=rng, deterministic=False,
-            use_flash=use_flash, remat=args.remat,
+            use_flash=use_flash, remat=args.remat_policy if args.remat else False,
         )
         la = smoothed_ce(logits, labels_a, args.smoothing)
         lb = smoothed_ce(logits, labels_b, args.smoothing)

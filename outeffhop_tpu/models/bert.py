@@ -267,7 +267,7 @@ def bert_encoder(
             )
 
         if use_remat:
-            layer_call = jax.checkpoint(layer_call)
+            layer_call = common.checkpoint_layer(layer_call, remat)
         x = layer_call(layer_params, x, rng_i)
     return x
 

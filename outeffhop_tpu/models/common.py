@@ -32,6 +32,20 @@ Array = jax.Array
 # --------------------------------------------------------------------------
 
 
+
+def checkpoint_layer(fn, remat):
+    """jax.checkpoint wrapper for the per-layer remat flag, which is
+    False | True | "full" | "dots". "dots" uses XLA's
+    dots_with_no_batch_dims_saveable policy: matmul outputs are SAVED and
+    only the cheap elementwise/norm work recomputes — a much lower recompute
+    tax than full remat (probe27: full remat cost 17-26% of the ViT step)
+    for a modest part of the memory saving."""
+    if remat == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+    return jax.checkpoint(fn)
+
 def dense_params(key, in_features: int, out_features: int, std: float = 0.02):
     kw, _ = jax.random.split(key)
     return {

@@ -550,8 +550,8 @@ def opt_forward(
             )
 
         if use_remat:
-            h = jax.checkpoint(
-                lambda lp_, h_, rr, i=i: layer_call(lp_, h_, rr, i=i)[0]
+            h = common.checkpoint_layer(
+                lambda lp_, h_, rr, i=i: layer_call(lp_, h_, rr, i=i)[0], remat
             )(lp, h, rngs[i])
             np_i = None
         else:

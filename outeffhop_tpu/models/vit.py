@@ -390,7 +390,7 @@ def vit_forward(
             )
 
         if use_remat:
-            block_call = jax.checkpoint(block_call)
+            block_call = common.checkpoint_layer(block_call, remat)
         x = block_call(bp, x, rngs[i])
     x = common.quant_layer_norm(params["norm"], x, q, "norm", cfg.layer_norm_eps)
     x = tape.record("norm", x)

@@ -76,7 +76,8 @@ if __name__ == "__main__":
     if len(sys.argv) > 2:
         print("backend:", jax.default_backend(), jax.devices()[0].device_kind,
               flush=True)
-        cell(int(sys.argv[1]), sys.argv[2] == "remat")
+        arg = sys.argv[2]
+        cell(int(sys.argv[1]), "dots" if arg == "dots" else arg == "remat")
         sys.exit(0)
     for remat in ("noremat", "remat"):
         for b in (64, 256, 512, 1024):

@@ -252,6 +252,7 @@ def test_remat_grads_match():
 
     g0 = jax.grad(lambda p: bloss(p, False))(bp)
     g1 = jax.grad(lambda p: bloss(p, True))(bp)
+    g2 = jax.grad(lambda p: bloss(p, "dots"))(bp)
     def check(a, b):
         if a is None or b is None:
             assert a is None and b is None
@@ -259,6 +260,7 @@ def test_remat_grads_match():
             np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
     jax.tree.map(check, g0, g1, is_leaf=lambda x: x is None)
+    jax.tree.map(check, g0, g2, is_leaf=lambda x: x is None)
 
     ocfg = OPTConfig(vocab_size=128, hidden_size=32, num_hidden_layers=2,
                      num_attention_heads=2, ffn_dim=64, attn_softmax="softmax1")
@@ -272,7 +274,7 @@ def test_remat_grads_match():
         return clm_loss(logits, labels)
 
     g0 = jax.grad(lambda p: oloss(p, False))(op)
-    g1 = jax.grad(lambda p: oloss(p, True))(op)
+    g1 = jax.grad(lambda p: oloss(p, "dots"))(op)
     def check(a, b):
         if a is None or b is None:
             assert a is None and b is None
