@@ -102,12 +102,14 @@ def dense(
     return q.act(name, y)
 
 
-# Embedding-table backward formulation. True (default): one-hot MXU matmul —
-# XLA lowers jnp.take's backward as a scatter-add over the (vocab, H) table,
-# which probe28 measured at ~4.8 ms/step of the BERT-base MLM backward
-# (frozemb row); the one-hot dot streams the same cotangents through the MXU
-# instead. False: the plain scatter (kept for A/B, results/perf_probe31.py).
-_EMBED_MATMUL_BWD = True
+# Embedding-table backward formulation. False (default): jnp.take's native
+# scatter-add — the A/B (probe31) MEASURED it 0.8 ms FASTER than the one-hot
+# MXU matmul on the BERT-base MLM step (28.62 vs 29.46 ms): XLA's TPU
+# scatter handles 4k updates into a 23 MB table fine, while the matmul pays
+# a (tokens, vocab) one-hot materialization + 192 GFLOP. probe28's "4.8 ms
+# scatter cost" signal was a loop-hoisting artifact (see CLAUDE.md). The
+# matmul path stays for re-measurement at other scales.
+_EMBED_MATMUL_BWD = False
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

@@ -231,6 +231,13 @@ def main():
         bench_wb(*big, False)
     elif cell == "small_bf16":
         bench_full(8, 512, 576, False)
+    elif cell == "nobucket_bf16":
+        # max_seq == bucket: the per-layer [:, :, :B] cache slices become
+        # identity — isolates the slice-materialization cost inside the
+        # scanned decode body (vs full_bf16's 2048-of-2112 slices)
+        bench_full(32, 2048, 2048, False)
+    elif cell == "nobucket_int8":
+        bench_full(32, 2048, 2048, True)
     else:
         raise SystemExit(f"unknown cell {cell}")
 
