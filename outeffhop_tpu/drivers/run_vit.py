@@ -145,12 +145,14 @@ def mix_batch(key, images, labels, mixup_alpha: float, cutmix_alpha: float):
 
 
 def smoothed_ce(logits, labels, smoothing: float):
-    n = logits.shape[-1]
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    # logsumexp formulation: nll = lse - logits[y]; the uniform-smoothing
+    # term is -mean_c(logp) = lse - mean_c(logits) (see models/bert.py)
+    lf = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lf, axis=-1)
+    nll = lse - jnp.take_along_axis(lf, labels[:, None], axis=-1)[:, 0]
     if smoothing <= 0:
         return nll.mean()
-    smooth = -logp.mean(axis=-1)
+    smooth = lse - lf.mean(axis=-1)
     return ((1 - smoothing) * nll + smoothing * smooth).mean()
 
 

@@ -413,8 +413,12 @@ def vit_forward(
 
 
 def vit_cls_loss(logits: Array, labels: Array) -> Array:
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+    # logsumexp formulation (see models/bert.py:mlm_loss)
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(
+        logits, labels[:, None], axis=-1
+    )[:, 0].astype(jnp.float32)
+    return jnp.mean(lse - picked)
 
 
 def accuracy_topk(logits: Array, labels: Array, k: int = 1) -> Array:
