@@ -381,17 +381,26 @@ def opt_attention(
         past_k = (
             past_key_value.k.astype(q_states.dtype) if kv_int8 else past_key_value[0]
         )
-        scores_past = jnp.einsum("bhqd,bhkd->bhqk", q_states, past_k)
+        # The whole chain runs with the singleton query dim SQUEEZED:
+        # (B, H, 1, T) f32 score tensors tile as (1, T) last-two-dims and
+        # Mosaic pads the sublane dim 8x — probe35 measured the in-model
+        # decode layer at 0.68 ms vs 0.35 ms for the same math in (B*H, T)
+        # layout (probe29 part A). (B, H, T) keeps T in the lane dim and H
+        # in the sublane dim: no padding.
+        q2 = q_states[:, :, 0, :]                       # (B, H, D)
+        scores_past = jnp.einsum("bhd,bhkd->bhk", q2, past_k)
         if kv_int8:
             # exact dequant AFTER the matmul: per-key-token scales commute
             # with the contraction over D (Int8KV docstring). The int8→bf16
             # convert on the K operand fuses into the dot's operand stream —
             # the cache is read from HBM as int8 (half the decode traffic).
-            scores_past = scores_past * past_key_value.k_scale[:, :, None, :]
-        scores_cur = jnp.einsum("bhqd,bhkd->bhqk", q_states, k_states)
-        scores = jnp.concatenate([scores_past, scores_cur], axis=-1)
+            scores_past = scores_past * past_key_value.k_scale
+        score_cur = jnp.sum(
+            q2 * k_states[:, :, 0, :], axis=-1, keepdims=True
+        )  # (B, H, 1)
+        scores = jnp.concatenate([scores_past, score_cur], axis=-1)
         if attention_mask is not None:
-            scores = scores + attention_mask
+            scores = scores + attention_mask[:, :, 0, :]  # (B,1,K) over H
             scores = jnp.maximum(scores, jnp.finfo(scores.dtype).min)
         probs = cfg.softmax_fn()(scores.astype(jnp.float32), axis=-1).astype(
             v_states.dtype  # not scores.dtype: the f32 mask add must not
@@ -401,15 +410,16 @@ def opt_attention(
         if kv_int8:
             # exact dequant BEFORE the matmul: per-value-token scales applied
             # to the (tiny) probs row, so V_int8 is read directly by the dot
-            probs_past = probs_past * past_key_value.v_scale[:, :, None, :].astype(
+            probs_past = probs_past * past_key_value.v_scale.astype(
                 probs_past.dtype
             )
             past_v = past_key_value.v.astype(v_states.dtype)
         else:
             past_v = past_key_value[1]
-        context = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs_past, past_v
-        ) + probs[..., s_len:] * v_states  # (B,H,1,1) * (B,H,1,D)
+        ctx2 = jnp.einsum(
+            "bhk,bhkd->bhd", probs_past, past_v
+        ) + probs[..., s_len:] * v_states[:, :, 0, :]  # (B,H,1) * (B,H,D)
+        context = ctx2[:, :, None, :]
     else:
         scores = jnp.einsum("bhqd,bhkd->bhqk", q_states, k_states)
         scores = tape.record("attn_scores", scores)
