@@ -32,7 +32,6 @@ Array = jax.Array
 # --------------------------------------------------------------------------
 
 
-
 def checkpoint_layer(fn, remat):
     """jax.checkpoint wrapper for the per-layer remat flag, which is
     False | True | "full" | "dots". "dots" uses XLA's
@@ -45,6 +44,7 @@ def checkpoint_layer(fn, remat):
             fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
         )
     return jax.checkpoint(fn)
+
 
 def dense_params(key, in_features: int, out_features: int, std: float = 0.02):
     kw, _ = jax.random.split(key)

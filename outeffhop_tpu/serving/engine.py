@@ -43,11 +43,6 @@ from outeffhop_tpu.models.opt import (
 
 Array = jax.Array
 
-# Decode-step cache write-back formulation, A/B-able in a subprocess matrix
-# (results/perf_probe30.py). False = single stacked scatter per cache array
-# (the measured winner); True = the round-4 per-layer .at[l].set loop.
-_WRITEBACK_LOOP = False
-
 
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
@@ -269,51 +264,27 @@ def _decode_body(cfg: OPTConfig, ecfg: EngineConfig, params, state: EngineState,
 
     ck, cv = state.cache_k, state.cache_v
     sk, sv = state.scale_k, state.scale_v
-    if _WRITEBACK_LOOP:
-        # round-4 formulation, kept for on-chip A/B (probe30): a 12-iteration
-        # python loop of whole-(L,...)-array .at[l].set updates
-        def write_slot(cache_row, kv_row, pos):
-            # cache_row (H, max_seq, D) ← kv_row (H, 1, D) at [:, pos, :]
-            return jax.lax.dynamic_update_slice(cache_row, kv_row, (0, pos, 0))
-
-        def write_scale(scale_row, s_val, pos):
-            # scale_row (H, max_seq) ← s_val (H, 1) at [:, pos]
-            return jax.lax.dynamic_update_slice(scale_row, s_val, (0, pos))
-
-        for l, (k_l, v_l) in enumerate(new_past):
-            k_new, v_new = k_l[:, :, -1:], v_l[:, :, -1:]
-            if ecfg.kv_int8:
-                q8 = quantize_kv(k_new, v_new)
-                k_new, v_new = q8.k, q8.v
-                # q8.*_scale is (slots, H, 1): vmapped over slots → (H, 1)
-                sk = sk.at[l].set(jax.vmap(write_scale)(sk[l], q8.k_scale, len_km1))
-                sv = sv.at[l].set(jax.vmap(write_scale)(sv[l], q8.v_scale, len_km1))
-            else:
-                k_new = k_new.astype(ck.dtype)
-                v_new = v_new.astype(cv.dtype)
-            ck = ck.at[l].set(jax.vmap(write_slot)(ck[l], k_new, len_km1))
-            cv = cv.at[l].set(jax.vmap(write_slot)(cv[l], v_new, len_km1))
+    # ONE scatter per cache array: stack every layer's current-token K/V
+    # into (L, S, H, D) and write all L*S rows in a single
+    # scatter-into-donated-buffer. The round-4 per-layer .at[l].set chain
+    # defeated XLA's in-place update analysis inside the scanned decode
+    # body — each of its 12 iterations copied the whole (L, S, H, T, D)
+    # pool, which probe29/30 measured as ~37 ms of the 42 ms big-cache
+    # step vs 0.10 ms for this scatter (bit-identical generations).
+    new_k = jnp.stack([k[:, :, -1, :] for k, _ in new_past])  # (L,S,H,D)
+    new_v = jnp.stack([v[:, :, -1, :] for _, v in new_past])
+    ladv = jnp.arange(L)[:, None]
+    sadv = jnp.arange(S)[None, :]
+    if ecfg.kv_int8:
+        q8 = quantize_kv(new_k[:, :, :, None, :], new_v[:, :, :, None, :])
+        new_k, new_v = q8.k[..., 0, :], q8.v[..., 0, :]
+        sk = sk.at[ladv, sadv, :, len_km1[None, :]].set(q8.k_scale[..., 0])
+        sv = sv.at[ladv, sadv, :, len_km1[None, :]].set(q8.v_scale[..., 0])
     else:
-        # ONE scatter per cache array: stack every layer's current-token K/V
-        # into (L, S, H, D) and write all L*S rows in a single
-        # scatter-into-donated-buffer. The per-layer .at[l].set chain above
-        # defeated XLA's in-place update analysis inside the scanned decode
-        # body — each of its 12 iterations copied the whole (L, S, H, T, D)
-        # pool, which probe29 measured as ~37 ms of the 42 ms big-cache step.
-        new_k = jnp.stack([k[:, :, -1, :] for k, _ in new_past])  # (L,S,H,D)
-        new_v = jnp.stack([v[:, :, -1, :] for _, v in new_past])
-        ladv = jnp.arange(L)[:, None]
-        sadv = jnp.arange(S)[None, :]
-        if ecfg.kv_int8:
-            q8 = quantize_kv(new_k[:, :, :, None, :], new_v[:, :, :, None, :])
-            new_k, new_v = q8.k[..., 0, :], q8.v[..., 0, :]
-            sk = sk.at[ladv, sadv, :, len_km1[None, :]].set(q8.k_scale[..., 0])
-            sv = sv.at[ladv, sadv, :, len_km1[None, :]].set(q8.v_scale[..., 0])
-        else:
-            new_k = new_k.astype(ck.dtype)
-            new_v = new_v.astype(cv.dtype)
-        ck = ck.at[ladv, sadv, :, len_km1[None, :], :].set(new_k)
-        cv = cv.at[ladv, sadv, :, len_km1[None, :], :].set(new_v)
+        new_k = new_k.astype(ck.dtype)
+        new_v = new_v.astype(cv.dtype)
+    ck = ck.at[ladv, sadv, :, len_km1[None, :], :].set(new_k)
+    cv = cv.at[ladv, sadv, :, len_km1[None, :], :].set(new_v)
 
     nxt = _sample(logits[:, -1], rng, ecfg.temperature, ecfg.top_k)
     nxt = jnp.where(state.active, nxt, ecfg.pad_token_id)
