@@ -144,3 +144,93 @@ def roofline_report(
         "sol_fraction": max(compute_frac, bw_frac),
         "arithmetic_intensity": cost.flops / max(cost.bytes_hbm, 1.0),
     }
+
+
+# Per-chip aggregate ICI bandwidth (GB/s, bidirectional, all links) and
+# host-level DCN — public figures; override via the `peaks=` argument.
+# v5e: 1,600 Gbps ICI per chip; v5p: 4,800 Gbps; v4: 2,400 Gbps.
+ICI_GBPS: Dict[str, float] = {
+    "TPU v4": 300.0,
+    "TPU v5 lite": 200.0,
+    "TPU v5e": 200.0,
+    "TPU v5p": 600.0,
+    "TPU v6e": 448.0,
+}
+DCN_GBPS_PER_HOST = 25.0  # 200 Gbps NIC, the usual pod-slice host fabric
+
+
+def scaling_report(
+    n_layers: int,
+    hidden: int,
+    ffn: int,
+    seq: int,
+    per_chip_batch: int,
+    vocab: int,
+    dp: int,
+    tp: int = 1,
+    *,
+    measured_mfu: float = 0.5,
+    chips_per_host: int = 8,
+    param_bytes: int = 2,
+    act_bytes: int = 2,
+    peaks: Optional[dict] = None,
+) -> Dict[str, float]:
+    """PROJECTED multi-chip training-step efficiency for a dp×tp mesh.
+
+    Multi-chip hardware is not reachable from this sandbox (BASELINE.md
+    target "tokens/s/chip at 1/N chips"), so this grounds the projection in
+    what IS measured: single-chip MFU (`measured_mfu`, e.g. 0.52 for the
+    BERT-base MLM train step, probe31) and public fabric bandwidths.
+
+    Collective volumes per chip per step (ring algorithms, 2(n-1)/n factor):
+      * dp gradient all-reduce: 2 · P_bytes · (dp−1)/dp — rides DCN when dp
+        spans hosts (the mesh layout puts `data` outermost, parallel/mesh.py)
+        and overlaps with the backward in XLA's latency-hiding scheduler;
+      * tp activation all-reduces: 2 per layer per direction (out-proj and
+        FFN-down row-parallel sums), each 2 · tokens·hidden·act_bytes ·
+        (tp−1)/tp, riding ICI.
+
+    Returns step-time components (s) and `scaling_efficiency` = compute /
+    (compute + exposed collectives), under the stated overlap assumptions
+    (dp all-reduce fully overlapped, tp all-reduces exposed — the
+    conservative end for tp)."""
+    p = device_peaks(peaks)
+    kind = jax.devices()[0].device_kind if jax.devices() else "TPU v5e"
+    ici = (peaks or {}).get("ici_gbps", ICI_GBPS.get(kind, 200.0)) * 1e9
+
+    fwd = transformer_forward_cost(
+        n_layers, hidden, ffn, seq, per_chip_batch * tp, vocab=vocab,
+        param_bytes=param_bytes,
+    )
+    train_flops_per_chip = 3.0 * fwd.flops / tp
+    compute_s = train_flops_per_chip / (
+        p["bf16_tflops"] * 1e12 * max(measured_mfu, 1e-6)
+    )
+
+    params = n_layers * (4 * hidden * hidden + 2 * hidden * ffn) + hidden * vocab
+    dp_bytes = 2.0 * params * param_bytes * (dp - 1) / max(dp, 1)
+    n_hosts = max(1, dp * tp // chips_per_host)
+    dp_fabric = ici if dp * tp <= chips_per_host or n_hosts == 1 else (
+        DCN_GBPS_PER_HOST * 1e9 / max(1, chips_per_host // tp)
+    )
+    dp_s = dp_bytes / dp_fabric if dp > 1 else 0.0
+
+    tokens = per_chip_batch * tp * seq
+    tp_bytes = (
+        2.0  # fwd + bwd
+        * 2 * n_layers  # two row-parallel sums per layer
+        * 2.0 * tokens * hidden * act_bytes * (tp - 1) / max(tp, 1)
+    )
+    tp_s = tp_bytes / ici if tp > 1 else 0.0
+
+    exposed = tp_s + max(0.0, dp_s - compute_s)  # dp overlaps with bwd
+    step_s = compute_s + exposed
+    return {
+        "compute_s": compute_s,
+        "dp_allreduce_s": dp_s,
+        "tp_allreduce_s": tp_s,
+        "exposed_collective_s": exposed,
+        "step_s": step_s,
+        "tokens_per_s_per_chip": tokens / tp / step_s,
+        "scaling_efficiency": compute_s / step_s,
+    }

@@ -95,3 +95,29 @@ def test_eval_loop_batched_host_transfer():
 
     mean0, telem0 = eval_loop(loss_and_count, [])
     assert mean0 == 0.0 and telem0 == {}
+
+
+def test_scaling_report_projection():
+    """Analytic dp x tp projection (utils/profiling.scaling_report): 1-chip
+    grounds to the measured MFU; collectives monotonically reduce
+    efficiency; dp all-reduce overlaps when compute-bound."""
+    from outeffhop_tpu.utils.profiling import scaling_report
+
+    kw = dict(n_layers=12, hidden=768, ffn=3072, seq=128, per_chip_batch=32,
+              vocab=30522, measured_mfu=0.52)
+    r1 = scaling_report(dp=1, tp=1, **kw)
+    assert r1["scaling_efficiency"] == 1.0
+    # 1-chip projection must land near the measured 150.5k tok/s (probe31)
+    assert 130_000 < r1["tokens_per_s_per_chip"] < 175_000
+
+    r8 = scaling_report(dp=8, tp=1, **kw)
+    # single-host dp: grad all-reduce rides ICI and fully overlaps
+    assert r8["scaling_efficiency"] == 1.0
+    assert r8["dp_allreduce_s"] > 0
+
+    r84 = scaling_report(dp=8, tp=4, **kw)
+    assert 0 < r84["scaling_efficiency"] < 1.0
+    assert r84["tp_allreduce_s"] > 0
+    # efficiency degrades monotonically with cross-host dp
+    r644 = scaling_report(dp=64, tp=4, **kw)
+    assert r644["scaling_efficiency"] <= r84["scaling_efficiency"]
