@@ -1,3 +1,6 @@
+# NOTE (round 5): this probe predates the deletion of ops/decode_attention.py
+# (adjudicated against, see BASELINE.md) - it no longer runs; the measured
+# numbers live in results/probe29_decode.log.
 """Round-5 probe #29: BLOCKED flash-decode kernel (ops/decode_attention.py
 rewrite) vs the XLA decode path, both regimes.
 
