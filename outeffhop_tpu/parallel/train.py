@@ -105,6 +105,95 @@ def _clip_by_global_inf_norm(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(lambda params: optax.EmptyState(), update)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FlatAdamWState:
+    count: jax.Array
+    m: jax.Array
+    v: jax.Array
+
+
+def flat_adamw(
+    params_template,
+    sched,
+    *,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 0.01,
+    clip_norm: Optional[float] = None,
+    grad_norm_type: float = 2.0,
+) -> optax.GradientTransformation:
+    """AdamW (+ optional global-norm clip) over ONE flattened buffer.
+
+    MEASURED AND REJECTED as the default (kept as a documented option):
+    isolated, the flat buffer wins big — probe37 timed the identical
+    clip+adamw math at 7.38 ms/update over BERT-base's 203-leaf tree vs
+    2.84 ms flat (per-leaf kernel-launch overhead). But in the REAL train
+    step it LOSES: 35.32 vs 27.21 ms (probe31 'flat' cell) — the per-leaf
+    chain lets XLA's latency-hiding scheduler overlap optimizer kernels
+    with the tail of the backward, while ravel_pytree's concatenate needs
+    every grad first (a full barrier) and adds ~0.8 GB of gather/split
+    copies. A lesson in measuring inside the real program, not standalone.
+
+    Semantics match optax.chain(clip_by_global_norm, adamw) with the decay
+    mask from `decay_mask` (tests assert equivalence). The moments live in
+    the PARAM dtype like optax's default (mu_dtype=None). The opt-state
+    STRUCTURE differs from the optax chain — checkpoints are not
+    interchangeable between the two.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    b1, b2 = betas
+    mask_tree = decay_mask(params_template)
+    mask_flat, _ = ravel_pytree(
+        jax.tree.map(
+            lambda use_wd, x: None if x is None else jnp.full(
+                x.shape, 1.0 if use_wd else 0.0, x.dtype
+            ),
+            mask_tree,
+            params_template,
+            is_leaf=lambda x: x is None,
+        )
+    )
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return FlatAdamWState(
+            count=jnp.zeros((), jnp.int32),
+            m=jnp.zeros_like(flat),
+            v=jnp.zeros_like(flat),
+        )
+
+    def update(updates, state, params=None):
+        g, _ = ravel_pytree(updates)
+        p, unravel = ravel_pytree(params)
+        if clip_norm is not None:
+            gf = g.astype(jnp.float32)
+            if grad_norm_type == float("inf"):
+                gn = jnp.max(jnp.abs(gf))
+            else:
+                gn = jnp.sqrt(jnp.sum(gf * gf))
+            scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gn, 1e-16))
+            g = (gf * scale).astype(g.dtype)
+        count = state.count + 1
+        m = b1 * state.m + (1.0 - b1) * g
+        v = b2 * state.v + (1.0 - b2) * (g * g)
+        cf = count.astype(jnp.float32)
+        mhat = m.astype(jnp.float32) / (1.0 - b1**cf)
+        vhat = v.astype(jnp.float32) / (1.0 - b2**cf)
+        upd = mhat / (jnp.sqrt(vhat) + eps)
+        if weight_decay:
+            upd = upd + weight_decay * mask_flat.astype(jnp.float32) * p.astype(
+                jnp.float32
+            )
+        # optax's scale_by_schedule reads its counter BEFORE incrementing:
+        # the first update uses sched(0) (zero lr under a 1-step warmup)
+        upd = (-sched(state.count) * upd).astype(p.dtype)
+        return unravel(upd), FlatAdamWState(count=count, m=m, v=v)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_adamw(
     params,
     lr: float = 1e-4,
@@ -119,10 +208,15 @@ def make_adamw(
     accum_steps: int = 1,
     scheduler: str = "linear",
     grad_norm_type: float = 2.0,
+    flat: bool = False,
 ) -> optax.GradientTransformation:
     """`scheduler` ∈ {linear, cosine, constant} (`--lr_scheduler_type`,
     reference args.py); `grad_norm_type` 2.0 or inf (`--grad_norm_type`,
-    torch clip_grad_norm_'s norm_type)."""
+    torch clip_grad_norm_'s norm_type). `flat` runs clip+adamw over one
+    flattened buffer — measured SLOWER end-to-end (the flat concat is a
+    barrier against backward/optimizer overlap; see `flat_adamw`), kept as
+    an option; opt-state structure differs, checkpoints not
+    interchangeable."""
     if scheduler == "linear":
         sched = linear_schedule_with_stretch(
             lr, warmup_steps, total_steps, final_lr_fraction
@@ -140,6 +234,16 @@ def make_adamw(
         )
     else:
         raise ValueError(f"unknown scheduler {scheduler!r} (linear|cosine|constant)")
+    if grad_norm_type not in (2.0, float("inf")):
+        raise ValueError("grad_norm_type must be 2.0 or inf")
+    if flat:
+        tx = flat_adamw(
+            params, sched, betas=betas, eps=eps, weight_decay=weight_decay,
+            clip_norm=clip_norm, grad_norm_type=grad_norm_type,
+        )
+        if accum_steps > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+        return tx
     chain = []
     if clip_norm is not None:
         if grad_norm_type == float("inf"):

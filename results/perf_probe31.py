@@ -40,7 +40,8 @@ def main():
     model = "opt" if cellname.startswith("opt_") else "bert"
     mode = cellname.split("_", 1)[-1] if model == "opt" else cellname
     use_embed = mode in ("embed", "both")
-    use_lse = mode in ("lse", "both")
+    use_lse = mode in ("lse", "both", "flat")  # flat cell = shipped loss + flat opt
+    use_flat = mode == "flat"
 
     import outeffhop_tpu.models.common as common
 
@@ -106,7 +107,7 @@ def main():
         return loss_old(logits, labels)
 
     tx = make_adamw(params, lr=1e-4, warmup_steps=10, total_steps=1000,
-                    clip_norm=1.0, accum_steps=1)
+                    clip_norm=1.0, accum_steps=1, flat=use_flat)
     step_fn = _make_train_step(loss_fn, tx)
     state = init_train_state(params, tx)
     rng = jax.random.PRNGKey(1)

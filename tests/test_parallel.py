@@ -282,3 +282,76 @@ def test_remat_grads_match():
             np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
     jax.tree.map(check, g0, g1, is_leaf=lambda x: x is None)
+
+
+def test_flat_adamw_matches_optax_chain():
+    """flat_adamw (one-buffer clip+adamw, probe37) must reproduce
+    optax.chain(clip_by_global_norm, adamw(mask=decay_mask)) step for step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from outeffhop_tpu.models.bert import BertConfig, bert_mlm_forward, init_bert_params, mlm_loss
+    from outeffhop_tpu.parallel.train import (
+        _make_train_step, init_train_state, make_adamw,
+    )
+
+    cfg = BertConfig(vocab_size=96, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=64,
+                     attn_softmax="softmax1", hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0)
+    params = init_bert_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    batch = {
+        "input_ids": jnp.asarray(rs.randint(0, 96, (2, 8)), jnp.int32),
+        "labels": jnp.asarray(rs.randint(0, 96, (2, 8)), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(1)
+
+    def run(flat, steps=3, norm_type=2.0):
+        tx = make_adamw(params, lr=1e-3, warmup_steps=1, total_steps=10,
+                        clip_norm=1.0, grad_norm_type=norm_type, flat=flat)
+
+        def loss_fn(p, bt, r):
+            logits = bert_mlm_forward(p, cfg, bt["input_ids"],
+                                      deterministic=True)
+            return mlm_loss(logits, bt["labels"])
+
+        step = _make_train_step(loss_fn, tx)
+        state = init_train_state(params, tx)
+        for _ in range(steps):
+            state, loss = step(state, batch, rng)
+        return state.params, loss
+
+    for norm_type in (2.0, float("inf")):
+        p_chain, l_chain = run(False, norm_type=norm_type)
+        p_flat, l_flat = run(True, norm_type=norm_type)
+        np.testing.assert_allclose(float(l_chain), float(l_flat), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-7),
+            p_chain, p_flat,
+        )
+
+
+def test_flat_adamw_weight_decay_mask():
+    """Bias/LN leaves must not be weight-decayed by the flat optimizer:
+    with zero grads, decayed leaves shrink and masked leaves stay exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from outeffhop_tpu.parallel.train import flat_adamw
+
+    params = {
+        "dense": {"weight": jnp.ones((4, 4)), "bias": jnp.ones((4,))},
+        "ln": {"weight": jnp.ones((4,)), "bias": jnp.zeros((4,))},
+    }
+    tx = flat_adamw(params, lambda c: 0.1, weight_decay=0.5)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.zeros_like, params)
+    upd, state = tx.update(grads, state, params)
+    new = optax.apply_updates(params, upd)
+    assert float(new["dense"]["weight"][0, 0]) < 1.0  # decayed
+    np.testing.assert_allclose(new["dense"]["bias"], 1.0)  # masked
+    np.testing.assert_allclose(new["ln"]["weight"], 1.0)  # masked
