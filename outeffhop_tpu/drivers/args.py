@@ -135,6 +135,12 @@ def add_training_args(p: argparse.ArgumentParser):
                         "BERT train step; rbg (TPU hardware RNG via "
                         "lax.rng_bit_generator) recovers +46%% train "
                         "throughput (89.5k -> 130.6k tok/s)")
+    g.add_argument("--dropout_rng_bits", type=int, default=32, choices=[8, 32],
+                   help="random-bit width per dropout element. 8 bitcasts "
+                        "each generated 32-bit word into four uint8 "
+                        "thresholds (4x less PRNG traffic; survivor rescale "
+                        "stays exactly unbiased, keep prob rounds to "
+                        "nearest 1/256)")
     g.add_argument("--with_tracking", action="store_true",
                    help="log scalars to JSONL/TB/wandb (args.py:201-220)")
     g.add_argument("--report_to", type=str, default="jsonl",

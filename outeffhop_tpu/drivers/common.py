@@ -174,13 +174,20 @@ def write_results(output_dir: Optional[str], results: dict, verbose: bool = True
             json.dump(results, f, indent=2, default=float)
 
 
-def dropout_key(seed: int, impl: str = "auto"):
+def dropout_key(seed: int, impl: str = "auto", rng_bits: int = 32):
     """Training dropout PRNG key. `rbg` maps to the TPU's hardware RNG
     (lax.rng_bit_generator); threefry's software counter sequence measured
     34% of the whole BERT train step on chip, and rbg recovered +46% train
     throughput (results/probe25_rng.log). `auto` picks rbg on TPU (matching
     the reference's cheap cuRAND dropout) and threefry elsewhere; pass
-    --rng_impl threefry for bit-reproducibility across backends."""
+    --rng_impl threefry for bit-reproducibility across backends.
+
+    `rng_bits=8` switches every dropout site to uint8 thresholds
+    (`models.common.set_dropout_rng_bits`): 4x less generated-bits traffic,
+    keep prob rounds to the nearest 1/256 (still exactly unbiased)."""
+    from outeffhop_tpu.models.common import set_dropout_rng_bits
+
+    set_dropout_rng_bits(rng_bits)
     if impl == "auto":
         impl = "rbg" if jax.default_backend() == "tpu" else "threefry"
     if impl == "rbg":

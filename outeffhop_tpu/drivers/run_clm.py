@@ -100,7 +100,7 @@ def main(argv=None):
     if args.checkpointing_steps and args.checkpointing_steps != "epoch":
         ckpt_every = int(args.checkpointing_steps)
 
-    rng = dropout_key(args.seed + 7, args.rng_impl)
+    rng = dropout_key(args.seed + 7, args.rng_impl, args.dropout_rng_bits)
     completed = start_step
     losses = []
     done = False

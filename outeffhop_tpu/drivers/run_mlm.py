@@ -142,7 +142,7 @@ def main(argv=None):
     from outeffhop_tpu.utils.tracking import init_tracker
 
     tracker = init_tracker(args, config=vars(args))
-    rng = dropout_key(args.seed + 7, args.rng_impl)
+    rng = dropout_key(args.seed + 7, args.rng_impl, args.dropout_rng_bits)
     completed = start_step
     losses = []
     done = False

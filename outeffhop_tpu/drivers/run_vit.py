@@ -290,7 +290,7 @@ def main(argv=None):
     from outeffhop_tpu.utils.tracking import init_tracker
 
     tracker = init_tracker(args, config=vars(args))
-    rng = dropout_key(args.seed + 99, args.rng_impl)
+    rng = dropout_key(args.seed + 99, args.rng_impl, args.dropout_rng_bits)
     best_top1, losses, completed = -1.0, [], 0
     batch_sharding = NamedSharding(mesh, batch_pspec())
     for epoch in range(start_epoch, args.num_train_epochs):

@@ -246,10 +246,39 @@ def decomposed_quant_layer_norm(
     return q.act(f"{name}.y", w_q * gamma_q + beta_q, kind="ln_binary")
 
 
+# Dropout random-bit width. 32 (default): jax.random.bernoulli — one 32-bit
+# word per element from the PRNG (rbg/threefry). 8: ceil(n/4) 32-bit words
+# bitcast to uint8 thresholds — 4x less generated-bits traffic (the rbg
+# dropout tax was 2.5 ms of the BERT train step, probe28b). The keep
+# probability rounds to t/256 (t = round(keep*256)) and the survivor rescale
+# uses 256/t, so E[dropout(x)] == x stays EXACT; only the keep probability
+# itself moves by <1/512 (e.g. 0.9 -> 229.5/256 ~ 0.8984). Opt in via
+# --dropout_rng_bits 8 (set_dropout_rng_bits).
+_DROPOUT_RNG_BITS = 32
+
+
+def set_dropout_rng_bits(bits: int) -> None:
+    global _DROPOUT_RNG_BITS
+    if bits not in (8, 32):
+        raise ValueError("dropout_rng_bits must be 8 or 32")
+    _DROPOUT_RNG_BITS = bits
+
+
 def dropout(x: Array, rate: float, rng: Optional[Array], deterministic: bool) -> Array:
     if deterministic or rate == 0.0 or rng is None:
         return x
     keep = 1.0 - rate
+    if _DROPOUT_RNG_BITS == 8:
+        t = int(round(keep * 256))
+        if t >= 256:  # keep prob rounds to 1: dropout is a no-op
+            return x
+        t = max(t, 1)
+        n = x.size
+        n_words = -(-n // 4)
+        words = jax.random.bits(rng, (n_words,), jnp.uint32)
+        u8 = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1)
+        u8 = u8[:n].reshape(x.shape)
+        return jnp.where(u8 < jnp.uint8(t), x * (256.0 / t), 0.0)
     mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0)
 

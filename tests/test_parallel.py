@@ -308,9 +308,10 @@ def test_flat_adamw_matches_optax_chain():
     }
     rng = jax.random.PRNGKey(1)
 
-    def run(flat, steps=3, norm_type=2.0):
+    def run(mode, steps=3, norm_type=2.0, clip_norm=1.0):
         tx = make_adamw(params, lr=1e-3, warmup_steps=1, total_steps=10,
-                        clip_norm=1.0, grad_norm_type=norm_type, flat=flat)
+                        clip_norm=clip_norm, grad_norm_type=norm_type,
+                        flat=(mode == "flat"), fused=(mode == "fused"))
 
         def loss_fn(p, bt, r):
             logits = bert_mlm_forward(p, cfg, bt["input_ids"],
@@ -324,13 +325,22 @@ def test_flat_adamw_matches_optax_chain():
         return state.params, loss
 
     for norm_type in (2.0, float("inf")):
-        p_chain, l_chain = run(False, norm_type=norm_type)
-        p_flat, l_flat = run(True, norm_type=norm_type)
-        np.testing.assert_allclose(float(l_chain), float(l_flat), rtol=1e-6)
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-7),
-            p_chain, p_flat,
-        )
+        p_chain, l_chain = run("chain", norm_type=norm_type)
+        for mode in ("flat", "fused"):
+            p_alt, l_alt = run(mode, norm_type=norm_type)
+            np.testing.assert_allclose(float(l_chain), float(l_alt), rtol=1e-6)
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-7),
+                p_chain, p_alt,
+            )
+
+    # unclipped path (fused's scale=None branch)
+    p_chain, _ = run("chain", clip_norm=None)
+    p_fused, _ = run("fused", clip_norm=None)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-7),
+        p_chain, p_fused,
+    )
 
 
 def test_flat_adamw_weight_decay_mask():
