@@ -135,6 +135,15 @@ def add_training_args(p: argparse.ArgumentParser):
                         "BERT train step; rbg (TPU hardware RNG via "
                         "lax.rng_bit_generator) recovers +46%% train "
                         "throughput (89.5k -> 130.6k tok/s)")
+    g.add_argument("--optimizer_impl", type=str, default="chain",
+                   choices=["chain", "fused", "flat"],
+                   help="clip+adamw assembly: chain = optax.chain(clip, "
+                        "adamw); fused = clip scale folded into the per-leaf "
+                        "adam update (one elementwise pass per grad leaf); "
+                        "flat = one flattened buffer (measured slower e2e, "
+                        "kept for reproduction). All three are numerically "
+                        "equivalent (tested); opt-state structures differ, "
+                        "so checkpoints are per-impl")
     g.add_argument("--dropout_rng_bits", type=int, default=32, choices=[8, 32],
                    help="random-bit width per dropout element. 8 bitcasts "
                         "each generated 32-bit word into four uint8 "

@@ -83,6 +83,8 @@ def main(argv=None):
         accum_steps=args.gradient_accumulation_steps,
         scheduler=args.lr_scheduler_type,
         grad_norm_type=args.grad_norm_type,
+        fused=args.optimizer_impl == "fused",
+        flat=args.optimizer_impl == "flat",
     )
     state = init_train_state(params, tx)
     step_fn = make_clm_train_step(cfg, tx, mesh=mesh, use_flash=bool(args.use_flash),

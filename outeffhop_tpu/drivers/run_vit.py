@@ -210,13 +210,28 @@ def main(argv=None):
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.learning_rate, max(warmup, 1), max(total_steps, 2), end_value=0.0
     )
-    tx = optax.chain(
-        optax.clip_by_global_norm(args.max_grad_norm),
-        optax.adamw(
-            sched, b1=args.adam_beta1, b2=args.adam_beta2,
-            weight_decay=args.weight_decay, mask=decay_mask(params),
-        ),
-    )
+    if args.optimizer_impl == "fused":
+        from outeffhop_tpu.parallel.train import fused_clip_adamw
+
+        tx = fused_clip_adamw(
+            params, sched, betas=(args.adam_beta1, args.adam_beta2),
+            weight_decay=args.weight_decay, clip_norm=args.max_grad_norm,
+        )
+    elif args.optimizer_impl == "flat":
+        from outeffhop_tpu.parallel.train import flat_adamw
+
+        tx = flat_adamw(
+            params, sched, betas=(args.adam_beta1, args.adam_beta2),
+            weight_decay=args.weight_decay, clip_norm=args.max_grad_norm,
+        )
+    else:
+        tx = optax.chain(
+            optax.clip_by_global_norm(args.max_grad_norm),
+            optax.adamw(
+                sched, b1=args.adam_beta1, b2=args.adam_beta2,
+                weight_decay=args.weight_decay, mask=decay_mask(params),
+            ),
+        )
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     opt_state = tx.init(params)

@@ -1,15 +1,38 @@
 #!/bin/bash
-# Round-5 chip queue #22: probe31 OPT cells (lse at 50k vocab).
+# Round-6 chip queue #22: probe39 STanHop train throughput. Chains after
+# queue21 (one axon process at a time).
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=2
 
 while ! grep -q "queue21 complete" results/chip_queue21.log 2>/dev/null; do
   sleep 60
 done
 
-for cell in opt_base opt_lse; do
-  echo "[$(date +%H:%M:%S)] running probe31 $cell"
-  timeout 2700 python results/perf_probe31.py $cell >> results/probe31_trainfix.log 2>&1 \
-    && echo "[$(date +%H:%M:%S)] probe31 $cell DONE" || echo "[$(date +%H:%M:%S)] probe31 $cell FAILED"
-done
+health() {
+  timeout 70 python -c "
+import jax, jax.numpy as jnp
+jax.jit(lambda a: a@a)(jnp.ones((128,128))).block_until_ready()
+" > /dev/null 2>&1
+}
+
+run_task() {
+  local name=$1 cmd=$2 tmo=$3
+  for attempt in 1 2 3; do
+    if health; then
+      echo "[$(date +%H:%M:%S)] running $name (attempt $attempt)"
+      if timeout "$tmo" bash -c "$cmd" > "results/${name}.log" 2>&1; then
+        echo "[$(date +%H:%M:%S)] $name DONE"; return 0
+      fi
+      echo "[$(date +%H:%M:%S)] $name failed/timeout (attempt $attempt)"
+    else
+      echo "[$(date +%H:%M:%S)] tunnel down, waiting ($name)"
+    fi
+    sleep 60
+  done
+  echo "[$(date +%H:%M:%S)] $name GAVE UP"; return 1
+}
+
+run_task probe39_f32 "PYTHONUNBUFFERED=1 python results/perf_probe39.py f32" 2700
+run_task probe39_bf16 "PYTHONUNBUFFERED=1 python results/perf_probe39.py bf16" 2700
 echo "[$(date +%H:%M:%S)] queue22 complete"
