@@ -17,7 +17,8 @@ for XLA's compilation model —
   * **continuous batching**: the host scheduler admits queued requests into
     slots the moment they free up (finished by EOS or length), keeping the
     batch dense without ever recompiling;
-  * sampling: greedy, temperature, top-k — selected by jit-static config.
+  * sampling: greedy, temperature, top-k, top-p (nucleus) — selected by
+    jit-static config.
 
 The decode hot loop is (slots, 1)-query attention against (slots, H,
 max_seq, D) caches — an HBM-bandwidth-bound gather+matvec that XLA fuses
@@ -53,6 +54,7 @@ class EngineConfig:
     pad_token_id: int = 1
     temperature: float = 0.0  # 0 → greedy
     top_k: int = 0  # 0 → full distribution
+    top_p: float = 1.0  # nucleus sampling; 1.0 → off (composes after top_k)
     # INT8 KV cache (models/opt.py:Int8KV): halves the decode step's cache
     # HBM traffic at the cost of per-token-per-head symmetric quantization of
     # K/V at write time. Regime-dependent, both directions MEASURED (round 4):
@@ -116,14 +118,30 @@ def init_state(cfg: OPTConfig, ecfg: EngineConfig, dtype=jnp.float32) -> EngineS
     )
 
 
-def _sample(logits: Array, rng: Array, temperature: float, top_k: int) -> Array:
-    """(B, V) → (B,) next tokens; temperature 0 is argmax (static branch)."""
+def _sample(
+    logits: Array, rng: Array, temperature: float, top_k: int,
+    top_p: float = 1.0,
+) -> Array:
+    """(B, V) → (B,) next tokens; temperature 0 is argmax (static branch).
+    top_k keeps the k highest logits; top_p (nucleus) then keeps the
+    smallest prefix of the probability-sorted distribution with cumulative
+    mass ≥ top_p (the kept set always includes the most-likely token)."""
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits.astype(jnp.float32) / temperature
     if top_k > 0:
         kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
         scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    if top_p < 1.0:
+        # one descending sort; mass strictly BEFORE each position decides the
+        # cut, so the top token (and any token straddling the boundary) stays
+        srt = jnp.sort(scaled, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        mass_before = jnp.cumsum(probs, axis=-1) - probs
+        keep = mass_before < top_p  # (B, V) over sorted order, monotone
+        n_keep = jnp.sum(keep, axis=-1)  # ≥ 1
+        cutoff = jnp.take_along_axis(srt, (n_keep - 1)[:, None], axis=-1)
+        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
     return jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
 
 
@@ -184,7 +202,8 @@ def make_prefill(cfg: OPTConfig, ecfg: EngineConfig, qctx=None):
         mask = (jnp.arange(P)[None, :] < prompt_len).astype(jnp.int32)  # (1, P)
         logits, past = opt_forward(params, cfg, prompt[None, :], mask, q=qctx)
         last = logits[0, jnp.maximum(prompt_len - 1, 0)]
-        first_tok = _sample(last[None, :], rng, ecfg.temperature, ecfg.top_k)[0]
+        first_tok = _sample(last[None, :], rng, ecfg.temperature, ecfg.top_k,
+                            ecfg.top_p)[0]
 
         ck, cv = state.cache_k, state.cache_v
         sk, sv = state.scale_k, state.scale_v
@@ -286,7 +305,7 @@ def _decode_body(cfg: OPTConfig, ecfg: EngineConfig, params, state: EngineState,
     ck = ck.at[ladv, sadv, :, len_km1[None, :], :].set(new_k)
     cv = cv.at[ladv, sadv, :, len_km1[None, :], :].set(new_v)
 
-    nxt = _sample(logits[:, -1], rng, ecfg.temperature, ecfg.top_k)
+    nxt = _sample(logits[:, -1], rng, ecfg.temperature, ecfg.top_k, ecfg.top_p)
     nxt = jnp.where(state.active, nxt, ecfg.pad_token_id)
     tokens = jax.vmap(
         lambda row, tok, pos: jax.lax.dynamic_update_slice(row, tok[None], (pos,))

@@ -85,6 +85,44 @@ def test_engine_sampling_mode_runs(opt):
         assert (res[r] >= 0).all() and (res[r] < cfg.vocab_size).all()
 
 
+def test_engine_top_p_mode_runs(opt):
+    cfg, params = opt
+    ecfg = EngineConfig(
+        max_slots=1, max_seq=24, max_prompt=8, eos_token_id=999,
+        temperature=1.0, top_p=0.9,
+    )
+    eng = ServingEngine(params, cfg, ecfg)
+    rid = eng.submit(np.arange(3, 8), max_new_tokens=5)
+    res = eng.run()
+    assert len(res[rid]) == 10
+    assert (res[rid] >= 0).all() and (res[rid] < cfg.vocab_size).all()
+
+
+def test_sample_top_p_masks_tail():
+    """Nucleus cut: with a 4-token distribution [0.5, 0.3, 0.15, 0.05] and
+    top_p=0.8, only the two most likely tokens are ever sampled (the kept
+    prefix is the smallest with cumulative mass >= 0.8); top_p ~ 0 degrades
+    to argmax-only; top_p=1.0 leaves every token reachable."""
+    import jax
+    import jax.numpy as jnp
+
+    from outeffhop_tpu.serving.engine import _sample
+
+    p = np.array([0.5, 0.3, 0.15, 0.05])
+    logits = jnp.log(jnp.asarray(p, jnp.float32))[None, :].repeat(512, axis=0)
+    rng = jax.random.PRNGKey(0)
+    toks = np.asarray(_sample(logits, rng, 1.0, 0, 0.8))
+    assert set(np.unique(toks)) <= {0, 1}
+    assert {0, 1} <= set(np.unique(toks))  # both survivors reachable
+    toks = np.asarray(_sample(logits, rng, 1.0, 0, 1e-6))
+    assert set(np.unique(toks)) == {0}  # the top token always survives
+    toks = np.asarray(_sample(logits, jax.random.PRNGKey(1), 1.0, 0, 1.0))
+    assert set(np.unique(toks)) == {0, 1, 2, 3}
+    # composes with top_k: k=3 then p=0.94 keeps exactly {0, 1, 2}
+    toks = np.asarray(_sample(logits, rng, 1.0, 3, 0.94))
+    assert set(np.unique(toks)) == {0, 1, 2}
+
+
 def test_engine_slot_reuse_interleaved(opt):
     """Late submissions are admitted as slots free — the scheduler stays busy
     until everything drains."""
