@@ -10,6 +10,12 @@ from outeffhop_tpu.parallel.train import (
     make_mlm_train_step,
     make_clm_train_step,
 )
+from outeffhop_tpu.parallel.pipeline import (
+    make_pipe_mesh,
+    make_pipeline_mlm_train_step,
+    to_bert_pipeline_params,
+    from_bert_pipeline_params,
+)
 
 __all__ = [
     "make_mesh",
@@ -20,4 +26,8 @@ __all__ = [
     "make_adamw",
     "make_mlm_train_step",
     "make_clm_train_step",
+    "make_pipe_mesh",
+    "make_pipeline_mlm_train_step",
+    "to_bert_pipeline_params",
+    "from_bert_pipeline_params",
 ]

@@ -1,0 +1,265 @@
+"""GPipe-style pipeline parallelism over a `pipe` mesh axis.
+
+The reference has no pipeline parallelism (SURVEY.md §2.8 marks PP
+"optional"); this module adds it the TPU-native way: no send/recv
+transport code — a `jax.shard_map` over a 1-D ``('pipe',)`` mesh, layer
+parameters stacked on a leading axis and sharded across stages, and the
+stage-to-stage activation hop expressed as `lax.ppermute` (which XLA lowers
+to an ICI neighbour copy). The whole schedule — bubbles included — is ONE
+jitted program, differentiable end to end (`ppermute`/`psum` have exact
+transposes), so the same machinery serves inference and training.
+
+Schedule: classic GPipe. The batch is split into M microbatches; the loop
+runs ``M + S - 1`` ticks (S = pipeline stages). At tick t, stage s works on
+microbatch ``t - s`` (bubble ticks compute on clamped dummy microbatches and
+their results are discarded — the usual (S-1)/(M+S-1) bubble overhead).
+Activations hop stage→stage+1 between ticks. The last stage's outputs are
+collected and broadcast with one masked `lax.psum` so the (replicated) head
+and loss can run identically on every stage — redundant but tiny next to
+the trunk, and it keeps the module generic over heads.
+
+Composition with the `('data', 'model')` mesh of `parallel/mesh.py`:
+pipeline stages are a third independent axis; this module keeps the mesh
+1-D (`make_pipe_mesh`) — the dp×pp / tp×pp products multiply the same
+in_specs and are left to the caller's mesh construction.
+
+Quant-ctx / telemetry-tape threading is deliberately NOT supported inside
+the pipeline trunk (sites are discovered per layer index, which is a
+host-side Python concept; the stacked trunk is index-free). Train with
+pipeline, then calibrate/serve the checkpoint on the un-stacked model.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+
+def make_pipe_mesh(n_stages: Optional[int] = None, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_stages is None:
+        n_stages = devices.size
+    assert devices.size == n_stages, (
+        f"pipe mesh wants {n_stages} devices, have {devices.size}"
+    )
+    return Mesh(devices.reshape(n_stages), ("pipe",))
+
+
+def stack_layer_params(layers: list) -> Any:
+    """[{...}, {...}, ...] (identical structures) → one pytree whose leaves
+    gain a leading layer axis. The inverse of ``unstack_layer_params``."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def unstack_layer_params(stacked: Any, n_layers: int) -> list:
+    return [
+        jax.tree.map(lambda x: x[i], stacked) for i in range(n_layers)
+    ]
+
+
+def shard_pipeline_params(pparams, mesh: Mesh):
+    """Place a pipeline param pytree: ``stacked_layers`` leaves sharded on
+    their leading (layer) axis over `pipe`; everything else replicated."""
+
+    def place(path, leaf):
+        if leaf is None:
+            return None
+        names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        spec = P("pipe") if "stacked_layers" in names else P()
+        # fresh buffers, never aliases of the caller's arrays: pipelined train
+        # steps donate their state, and device_put is a no-op (same buffer)
+        # when the sharding already matches
+        return jax.device_put(jnp.array(leaf), NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(
+        place, pparams, is_leaf=lambda x: x is None
+    )
+
+
+def gpipe_trunk(
+    layer_fn: Callable[[Any, Array, Array, Array], Array],
+    stacked_local: Any,
+    x_mb: Array,
+    n_stages: int,
+    axis: str = "pipe",
+) -> Array:
+    """The schedule core — call INSIDE a shard_map over `axis`.
+
+    layer_fn(layer_params, x, global_layer_idx, micro_idx) -> x
+    stacked_local: layer params with leading dim L/S (this stage's slice)
+    x_mb: (M, mb, ...) microbatched trunk input, replicated across stages
+    Returns (M, mb, ...) trunk output, broadcast to every stage.
+    """
+    stage = lax.axis_index(axis)
+    n_micro = x_mb.shape[0]
+    l_local = jax.tree.leaves(stacked_local)[0].shape[0]
+    local_idx = jnp.arange(l_local)
+    perm = [(i, i + 1) for i in range(n_stages - 1)]
+
+    def stage_apply(x: Array, micro: Array) -> Array:
+        def body(h, xs):
+            lp, il = xs
+            g = stage * l_local + il  # global layer index (rng streams)
+            return layer_fn(lp, h, g, micro), None
+
+        out, _ = lax.scan(body, x, (stacked_local, local_idx))
+        return out
+
+    def tick(recv, t):
+        x0 = x_mb[jnp.clip(t, 0, n_micro - 1)]
+        x = jnp.where(stage == 0, x0, recv)
+        micro = jnp.clip(t - stage, 0, n_micro - 1)
+        y = stage_apply(x, micro)
+        nxt = (
+            lax.ppermute(y, axis, perm) if perm else jnp.zeros_like(y)
+        )
+        return nxt, y
+
+    _, ys = lax.scan(tick, jnp.zeros_like(x_mb[0]),
+                     jnp.arange(n_micro + n_stages - 1))
+    outs = ys[n_stages - 1:]  # (M, mb, ...) — microbatch m at row m
+    outs = jnp.where(stage == n_stages - 1, outs, jnp.zeros_like(outs))
+    return lax.psum(outs, axis)
+
+
+# --------------------------------------------------------------------------
+# BERT MLM on the pipeline
+# --------------------------------------------------------------------------
+
+
+def to_bert_pipeline_params(params, mesh: Mesh):
+    """{'embeddings', 'layers': [...], 'head', ...} → pipeline pytree with
+    ``stacked_layers`` sharded over `pipe` (leading layer axis)."""
+    p = {k: v for k, v in params.items() if k != "layers"}
+    p["stacked_layers"] = stack_layer_params(params["layers"])
+    return shard_pipeline_params(p, mesh)
+
+
+def from_bert_pipeline_params(pparams, n_layers: int):
+    p = {k: v for k, v in pparams.items() if k != "stacked_layers"}
+    p["layers"] = unstack_layer_params(pparams["stacked_layers"], n_layers)
+    return p
+
+
+def bert_pipeline_mlm_forward(
+    pparams,
+    cfg,
+    input_ids: Array,
+    attention_mask: Optional[Array],
+    mesh: Mesh,
+    n_micro: int,
+    dropout_rng=None,
+    deterministic: bool = True,
+    use_flash: bool = False,
+):
+    """`bert_mlm_forward` with the encoder trunk pipelined over `pipe`.
+
+    Matches the un-pipelined forward exactly in the deterministic case
+    (tests assert allclose); with dropout the rng STREAMS differ from the
+    sequential encoder's (per-layer fold_in is replaced by a
+    (global-layer, microbatch) fold), so losses are equal in distribution,
+    not bitwise. Embeddings and head run replicated on every stage.
+    """
+    from outeffhop_tpu.models.bert import (
+        bert_embeddings, bert_layer, extended_attention_mask,
+    )
+    from outeffhop_tpu.models import common
+
+    b, t = input_ids.shape
+    assert b % n_micro == 0, f"batch {b} not divisible by {n_micro} microbatches"
+    mb = b // n_micro
+    n_stages = mesh.shape["pipe"]
+    assert cfg.num_hidden_layers % n_stages == 0, (
+        f"{cfg.num_hidden_layers} layers not divisible by {n_stages} stages"
+    )
+
+    ext_mask = (
+        extended_attention_mask(attention_mask)
+        if attention_mask is not None
+        else jnp.zeros((b, 1, 1, t), jnp.float32)
+    )
+    rngs = (
+        jax.random.split(dropout_rng, 2) if dropout_rng is not None else [None, None]
+    )
+
+    def run(stacked, other, ids_mb, mask_mb, rng):
+        x = bert_embeddings(
+            other["embeddings"], cfg, ids_mb.reshape(b, t), None,
+            dropout_rng=None if rng is None else jax.random.fold_in(rng, 1 << 20),
+            deterministic=deterministic,
+        )
+        x_mb = x.reshape(n_micro, mb, t, -1)
+
+        def layer_fn(lp, h, g, m):
+            r = (
+                jax.random.fold_in(jax.random.fold_in(rng, g), m)
+                if rng is not None
+                else None
+            )
+            return bert_layer(
+                lp, cfg, h, mask_mb[m],
+                dropout_rng=r, deterministic=deterministic,
+                use_flash=use_flash,
+            )
+
+        out = gpipe_trunk(layer_fn, stacked, x_mb, n_stages)
+        x = out.reshape(b, t, -1)
+        head = other["head"]
+        h = common.gelu(x @ head["transform"]["weight"].T + head["transform"]["bias"])
+        h = common.layer_norm(head["transform_ln"], h, cfg.layer_norm_eps)
+        return h @ head["decoder"]["weight"].T + head["decoder"]["bias"]
+
+    other = {k: v for k, v in pparams.items() if k != "stacked_layers"}
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P("pipe"), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return sharded(
+        pparams["stacked_layers"],
+        other,
+        input_ids.reshape(n_micro, mb, t),
+        ext_mask.reshape(n_micro, mb, *ext_mask.shape[1:]),
+        rngs[1],
+    )
+
+
+def make_pipeline_mlm_train_step(cfg, tx, mesh: Mesh, n_micro: int,
+                                 use_flash: bool = False):
+    """Pipelined analogue of `make_mlm_train_step` (same TrainState / tx
+    contract; batch replicated across stages, grads correct via the
+    shard_map transpose's psum over the masked last-stage loss)."""
+    from outeffhop_tpu.models.bert import mlm_loss
+    from outeffhop_tpu.parallel.train import TrainState
+    import optax
+
+    def train_step(state: TrainState, batch, dropout_rng):
+        rng = jax.random.fold_in(dropout_rng, state.step)
+
+        def loss_of(pparams):
+            logits = bert_pipeline_mlm_forward(
+                pparams, cfg, batch["input_ids"], batch.get("attention_mask"),
+                mesh, n_micro, dropout_rng=rng,
+                deterministic=False, use_flash=use_flash,
+            )
+            return mlm_loss(logits, batch["labels"])
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt),
+            loss,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,))
