@@ -13,8 +13,11 @@ from outeffhop_tpu.parallel.train import (
 from outeffhop_tpu.parallel.pipeline import (
     make_pipe_mesh,
     make_pipeline_mlm_train_step,
+    make_pipeline_clm_train_step,
     to_bert_pipeline_params,
     from_bert_pipeline_params,
+    to_opt_pipeline_params,
+    from_opt_pipeline_params,
 )
 
 __all__ = [
@@ -28,6 +31,9 @@ __all__ = [
     "make_clm_train_step",
     "make_pipe_mesh",
     "make_pipeline_mlm_train_step",
+    "make_pipeline_clm_train_step",
     "to_bert_pipeline_params",
     "from_bert_pipeline_params",
+    "to_opt_pipeline_params",
+    "from_opt_pipeline_params",
 ]

@@ -234,6 +234,140 @@ def bert_pipeline_mlm_forward(
     )
 
 
+# --------------------------------------------------------------------------
+# OPT CLM on the pipeline
+# --------------------------------------------------------------------------
+
+
+def to_opt_pipeline_params(params, mesh: Mesh):
+    p = {k: v for k, v in params.items() if k != "layers"}
+    p["stacked_layers"] = stack_layer_params(params["layers"])
+    return shard_pipeline_params(p, mesh)
+
+
+def from_opt_pipeline_params(pparams, n_layers: int):
+    p = {k: v for k, v in pparams.items() if k != "stacked_layers"}
+    p["layers"] = unstack_layer_params(pparams["stacked_layers"], n_layers)
+    return p
+
+
+def opt_pipeline_forward(
+    pparams,
+    cfg,
+    input_ids: Array,
+    attention_mask: Optional[Array],
+    mesh: Mesh,
+    n_micro: int,
+    dropout_rng=None,
+    deterministic: bool = True,
+    use_flash: bool = False,
+):
+    """`opt_forward` (no-cache training path) with the decoder trunk
+    pipelined — same contract notes as `bert_pipeline_mlm_forward`."""
+    from outeffhop_tpu.models import common
+    from outeffhop_tpu.models.opt import (
+        causal_mask_bias, opt_decoder_layer, opt_positions,
+    )
+
+    b, t = input_ids.shape
+    assert b % n_micro == 0, f"batch {b} not divisible by {n_micro} microbatches"
+    mb = b // n_micro
+    n_stages = mesh.shape["pipe"]
+    assert cfg.num_hidden_layers % n_stages == 0, (
+        f"{cfg.num_hidden_layers} layers not divisible by {n_stages} stages"
+    )
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, t), jnp.int32)
+    combined_mask = causal_mask_bias(attention_mask, t, 0)
+    padding_bias = (
+        (1.0 - attention_mask[:, None, None, :].astype(jnp.float32))
+        * jnp.finfo(jnp.float32).min
+    )
+
+    def run(stacked, other, ids_mb, mask_mb, bias_mb, amask, rng):
+        ids = ids_mb.reshape(b, t)
+        x = common.embedding(other["embed_tokens"], ids)
+        pos = common.embedding(other["embed_positions"], opt_positions(amask, 0))
+        if "project_in" in other:
+            x = x @ other["project_in"]["weight"].T
+        h = x + pos
+        h = common.dropout(
+            h, cfg.dropout,
+            None if rng is None else jax.random.fold_in(rng, 1 << 20),
+            deterministic,
+        )
+        x_mb = h.reshape(n_micro, mb, t, -1)
+
+        def layer_fn(lp, hh, g, m):
+            r = (
+                jax.random.fold_in(jax.random.fold_in(rng, g), m)
+                if rng is not None
+                else None
+            )
+            return opt_decoder_layer(
+                lp, cfg, hh, mask_mb[m], padding_bias=bias_mb[m],
+                dropout_rng=r, deterministic=deterministic,
+                use_flash=use_flash,
+            )[0]
+
+        out = gpipe_trunk(layer_fn, stacked, x_mb, n_stages)
+        h = out.reshape(b, t, -1)
+        h = common.layer_norm(other["final_ln"], h, cfg.layer_norm_eps)
+        if "project_out" in other:
+            h = h @ other["project_out"]["weight"].T
+        lm_w = other["head"]["lm"]["weight"]
+        if lm_w is None:
+            lm_w = other["embed_tokens"]["weight"]  # tied
+        return h @ lm_w.T
+
+    other = {k: v for k, v in pparams.items() if k != "stacked_layers"}
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P("pipe"), P(), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return sharded(
+        pparams["stacked_layers"],
+        other,
+        input_ids.reshape(n_micro, mb, t),
+        combined_mask.reshape(n_micro, mb, *combined_mask.shape[1:]),
+        padding_bias.reshape(n_micro, mb, *padding_bias.shape[1:]),
+        attention_mask,
+        dropout_rng,
+    )
+
+
+def make_pipeline_clm_train_step(cfg, tx, mesh: Mesh, n_micro: int,
+                                 use_flash: bool = False):
+    """Pipelined analogue of `make_clm_train_step`."""
+    from outeffhop_tpu.models.opt import clm_loss
+    from outeffhop_tpu.parallel.train import TrainState
+    import optax
+
+    def train_step(state: TrainState, batch, dropout_rng):
+        rng = jax.random.fold_in(dropout_rng, state.step)
+
+        def loss_of(pparams):
+            logits = opt_pipeline_forward(
+                pparams, cfg, batch["input_ids"], batch.get("attention_mask"),
+                mesh, n_micro, dropout_rng=rng,
+                deterministic=False, use_flash=use_flash,
+            )
+            return clm_loss(logits, batch["labels"])
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt),
+            loss,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
 def make_pipeline_mlm_train_step(cfg, tx, mesh: Mesh, n_micro: int,
                                  use_flash: bool = False):
     """Pipelined analogue of `make_mlm_train_step` (same TrainState / tx

@@ -155,6 +155,62 @@ def test_pipeline_train_step_matches_plain():
         )
 
 
+def test_opt_pipeline_forward_matches_sequential():
+    from outeffhop_tpu.models.opt import OPTConfig, init_opt_params, opt_forward
+    from outeffhop_tpu.parallel.pipeline import (
+        opt_pipeline_forward, to_opt_pipeline_params,
+    )
+
+    cfg = OPTConfig(
+        vocab_size=96, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=2, ffn_dim=64, max_position_embeddings=64,
+        attn_softmax="softmax1", dropout=0.0,
+    )
+    params = init_opt_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    ids = jnp.asarray(rs.randint(0, 96, (8, 16)), jnp.int32)
+    amask = jnp.asarray(
+        np.concatenate([np.ones((8, 12)), np.zeros((8, 4))], axis=1), jnp.int32
+    )
+    ref, _ = opt_forward(params, cfg, ids, amask, deterministic=True)
+    mesh = make_pipe_mesh(2, devices=jax.devices()[:2])
+    pparams = to_opt_pipeline_params(params, mesh)
+    out = opt_pipeline_forward(pparams, cfg, ids, amask, mesh, 2,
+                               deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_opt_pipeline_train_step_runs():
+    from outeffhop_tpu.models.opt import OPTConfig, init_opt_params
+    from outeffhop_tpu.parallel.pipeline import (
+        make_pipeline_clm_train_step, to_opt_pipeline_params,
+    )
+    from outeffhop_tpu.parallel.train import init_train_state, make_adamw
+
+    cfg = OPTConfig(
+        vocab_size=96, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, ffn_dim=64, max_position_embeddings=64,
+        attn_softmax="softmax1", dropout=0.1,
+    )
+    params = init_opt_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_pipe_mesh(2, devices=jax.devices()[:2])
+    pparams = to_opt_pipeline_params(params, mesh)
+    tx = make_adamw(pparams, lr=1e-3, warmup_steps=1, total_steps=10,
+                    betas=(0.9, 0.95))
+    step = make_pipeline_clm_train_step(cfg, tx, mesh, n_micro=2)
+    state = init_train_state(pparams, tx)
+    rs = np.random.RandomState(1)
+    batch = {
+        "input_ids": jnp.asarray(rs.randint(0, 96, (4, 16)), jnp.int32),
+        "labels": jnp.asarray(rs.randint(0, 96, (4, 16)), jnp.int32),
+    }
+    for _ in range(2):
+        state, loss = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    assert int(state.step) == 2
+
+
 def test_pipeline_dropout_runs_and_is_finite():
     cfg = _cfg(4)
     params = init_bert_params(jax.random.PRNGKey(0), cfg)
