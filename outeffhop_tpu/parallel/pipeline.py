@@ -18,10 +18,12 @@ collected and broadcast with one masked `lax.psum` so the (replicated) head
 and loss can run identically on every stage — redundant but tiny next to
 the trunk, and it keeps the module generic over heads.
 
-Composition with the `('data', 'model')` mesh of `parallel/mesh.py`:
-pipeline stages are a third independent axis; this module keeps the mesh
-1-D (`make_pipe_mesh`) — the dp×pp / tp×pp products multiply the same
-in_specs and are left to the caller's mesh construction.
+dp×pp composition is built in: `make_pipe_mesh(n_stages, n_data)` makes a
+2-D ``('pipe', 'data')`` mesh, microbatches shard their batch dim over
+`data`, and the gradient all-reduce across replicas falls out of the
+shard_map transpose (replicated param in_specs psum their cotangents over
+every mesh axis). tp×pp (a third `model` axis) is left to the caller's
+mesh construction.
 
 Quant-ctx / telemetry-tape threading is deliberately NOT supported inside
 the pipeline trunk (sites are discovered per layer index, which is a
@@ -43,14 +45,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 Array = jax.Array
 
 
-def make_pipe_mesh(n_stages: Optional[int] = None, devices=None) -> Mesh:
+def make_pipe_mesh(
+    n_stages: Optional[int] = None, n_data: int = 1, devices=None
+) -> Mesh:
+    """('pipe', 'data') mesh: S pipeline stages × D data-parallel replicas.
+
+    `data` is innermost so each stage's replicas are ICI neighbours (their
+    per-microbatch activation grad psum stays on-chip-local links); `pipe`
+    hops also ride ICI on a contiguous slice."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     if n_stages is None:
-        n_stages = devices.size
-    assert devices.size == n_stages, (
-        f"pipe mesh wants {n_stages} devices, have {devices.size}"
+        n_stages = devices.size // n_data
+    assert devices.size == n_stages * n_data, (
+        f"pipe mesh wants {n_stages}x{n_data} devices, have {devices.size}"
     )
-    return Mesh(devices.reshape(n_stages), ("pipe",))
+    return Mesh(devices.reshape(n_stages, n_data), ("pipe", "data"))
 
 
 def stack_layer_params(layers: list) -> Any:
@@ -174,9 +183,13 @@ def bert_pipeline_mlm_forward(
     from outeffhop_tpu.models import common
 
     b, t = input_ids.shape
+    n_stages = mesh.shape["pipe"]
+    n_data = mesh.shape.get("data", 1)
     assert b % n_micro == 0, f"batch {b} not divisible by {n_micro} microbatches"
     mb = b // n_micro
-    n_stages = mesh.shape["pipe"]
+    assert mb % n_data == 0, (
+        f"microbatch {mb} not divisible by {n_data} data replicas"
+    )
     assert cfg.num_hidden_layers % n_stages == 0, (
         f"{cfg.num_hidden_layers} layers not divisible by {n_stages} stages"
     )
@@ -191,12 +204,15 @@ def bert_pipeline_mlm_forward(
     )
 
     def run(stacked, other, ids_mb, mask_mb, rng):
+        m_, mbl, t_ = ids_mb.shape  # local: mb sharded over 'data'
+        if rng is not None and n_data > 1:
+            rng = jax.random.fold_in(rng, lax.axis_index("data"))
         x = bert_embeddings(
-            other["embeddings"], cfg, ids_mb.reshape(b, t), None,
+            other["embeddings"], cfg, ids_mb.reshape(m_ * mbl, t_), None,
             dropout_rng=None if rng is None else jax.random.fold_in(rng, 1 << 20),
             deterministic=deterministic,
         )
-        x_mb = x.reshape(n_micro, mb, t, -1)
+        x_mb = x.reshape(m_, mbl, t_, -1)
 
         def layer_fn(lp, h, g, m):
             r = (
@@ -211,27 +227,30 @@ def bert_pipeline_mlm_forward(
             )
 
         out = gpipe_trunk(layer_fn, stacked, x_mb, n_stages)
-        x = out.reshape(b, t, -1)
+        x = out.reshape(m_ * mbl, t_, -1)
         head = other["head"]
         h = common.gelu(x @ head["transform"]["weight"].T + head["transform"]["bias"])
         h = common.layer_norm(head["transform_ln"], h, cfg.layer_norm_eps)
-        return h @ head["decoder"]["weight"].T + head["decoder"]["bias"]
+        logits = h @ head["decoder"]["weight"].T + head["decoder"]["bias"]
+        return logits.reshape(m_, mbl, t_, -1)
 
     other = {k: v for k, v in pparams.items() if k != "stacked_layers"}
+    mb_spec = P(None, "data") if n_data > 1 else P()
     sharded = jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(P("pipe"), P(), P(), P(), P()),
-        out_specs=P(),
+        in_specs=(P("pipe"), P(), mb_spec, mb_spec, P()),
+        out_specs=mb_spec,
         check_vma=False,
     )
-    return sharded(
+    logits = sharded(
         pparams["stacked_layers"],
         other,
         input_ids.reshape(n_micro, mb, t),
         ext_mask.reshape(n_micro, mb, *ext_mask.shape[1:]),
         rngs[1],
     )
+    return logits.reshape(b, t, -1)
 
 
 # --------------------------------------------------------------------------
@@ -270,9 +289,13 @@ def opt_pipeline_forward(
     )
 
     b, t = input_ids.shape
+    n_stages = mesh.shape["pipe"]
+    n_data = mesh.shape.get("data", 1)
     assert b % n_micro == 0, f"batch {b} not divisible by {n_micro} microbatches"
     mb = b // n_micro
-    n_stages = mesh.shape["pipe"]
+    assert mb % n_data == 0, (
+        f"microbatch {mb} not divisible by {n_data} data replicas"
+    )
     assert cfg.num_hidden_layers % n_stages == 0, (
         f"{cfg.num_hidden_layers} layers not divisible by {n_stages} stages"
     )
@@ -284,10 +307,16 @@ def opt_pipeline_forward(
         * jnp.finfo(jnp.float32).min
     )
 
-    def run(stacked, other, ids_mb, mask_mb, bias_mb, amask, rng):
-        ids = ids_mb.reshape(b, t)
+    def run(stacked, other, ids_mb, mask_mb, bias_mb, amask_mb, rng):
+        m_, mbl, t_ = ids_mb.shape  # local: mb sharded over 'data'
+        if rng is not None and n_data > 1:
+            rng = jax.random.fold_in(rng, lax.axis_index("data"))
+        ids = ids_mb.reshape(m_ * mbl, t_)
         x = common.embedding(other["embed_tokens"], ids)
-        pos = common.embedding(other["embed_positions"], opt_positions(amask, 0))
+        pos = common.embedding(
+            other["embed_positions"],
+            opt_positions(amask_mb.reshape(m_ * mbl, t_), 0),
+        )
         if "project_in" in other:
             x = x @ other["project_in"]["weight"].T
         h = x + pos
@@ -296,7 +325,7 @@ def opt_pipeline_forward(
             None if rng is None else jax.random.fold_in(rng, 1 << 20),
             deterministic,
         )
-        x_mb = h.reshape(n_micro, mb, t, -1)
+        x_mb = h.reshape(m_, mbl, t_, -1)
 
         def layer_fn(lp, hh, g, m):
             r = (
@@ -311,32 +340,35 @@ def opt_pipeline_forward(
             )[0]
 
         out = gpipe_trunk(layer_fn, stacked, x_mb, n_stages)
-        h = out.reshape(b, t, -1)
+        h = out.reshape(m_ * mbl, t_, -1)
         h = common.layer_norm(other["final_ln"], h, cfg.layer_norm_eps)
         if "project_out" in other:
             h = h @ other["project_out"]["weight"].T
         lm_w = other["head"]["lm"]["weight"]
         if lm_w is None:
             lm_w = other["embed_tokens"]["weight"]  # tied
-        return h @ lm_w.T
+        logits = h @ lm_w.T
+        return logits.reshape(m_, mbl, t_, -1)
 
     other = {k: v for k, v in pparams.items() if k != "stacked_layers"}
+    mb_spec = P(None, "data") if n_data > 1 else P()
     sharded = jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(P("pipe"), P(), P(), P(), P(), P(), P()),
-        out_specs=P(),
+        in_specs=(P("pipe"), P(), mb_spec, mb_spec, mb_spec, mb_spec, P()),
+        out_specs=mb_spec,
         check_vma=False,
     )
-    return sharded(
+    logits = sharded(
         pparams["stacked_layers"],
         other,
         input_ids.reshape(n_micro, mb, t),
         combined_mask.reshape(n_micro, mb, *combined_mask.shape[1:]),
         padding_bias.reshape(n_micro, mb, *padding_bias.shape[1:]),
-        attention_mask,
+        attention_mask.reshape(n_micro, mb, t),
         dropout_rng,
     )
+    return logits.reshape(b, t, -1)
 
 
 def make_pipeline_clm_train_step(cfg, tx, mesh: Mesh, n_micro: int,

@@ -155,6 +155,62 @@ def test_pipeline_train_step_matches_plain():
         )
 
 
+@pytest.mark.parametrize("n_stages,n_data,n_micro", [(2, 2, 2), (2, 4, 2), (4, 2, 1)])
+def test_pipeline_dp_pp_forward_matches_sequential(n_stages, n_data, n_micro):
+    """dp×pp 2-D mesh: microbatches shard over 'data', stages over 'pipe'."""
+    cfg = _cfg(4)
+    params = init_bert_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg)
+    ref = bert_mlm_forward(
+        params, cfg, batch["input_ids"], batch["attention_mask"],
+        deterministic=True,
+    )
+    mesh = make_pipe_mesh(n_stages, n_data,
+                          devices=jax.devices()[: n_stages * n_data])
+    pparams = to_bert_pipeline_params(params, mesh)
+    out = bert_pipeline_mlm_forward(
+        pparams, cfg, batch["input_ids"], batch["attention_mask"],
+        mesh, n_micro, deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_dp_pp_grads_match_sequential():
+    cfg = _cfg(4)
+    params = init_bert_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg)
+    mesh = make_pipe_mesh(2, 2, devices=jax.devices()[:4])
+    pparams = to_bert_pipeline_params(params, mesh)
+
+    def loss_pipe(pp):
+        logits = bert_pipeline_mlm_forward(
+            pp, cfg, batch["input_ids"], batch["attention_mask"],
+            mesh, 2, deterministic=True,
+        )
+        return mlm_loss(logits, batch["labels"])
+
+    def loss_seq(p):
+        logits = bert_mlm_forward(
+            p, cfg, batch["input_ids"], batch["attention_mask"],
+            deterministic=True,
+        )
+        return mlm_loss(logits, batch["labels"])
+
+    g_pipe = from_bert_pipeline_params(
+        jax.grad(loss_pipe)(pparams), cfg.num_hidden_layers
+    )
+    g_seq = jax.grad(loss_seq)(params)
+
+    def chk(a, b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+    jax.tree.map(chk, g_pipe["embeddings"], g_seq["embeddings"])
+    for lp, ls in zip(g_pipe["layers"], g_seq["layers"]):
+        jax.tree.map(chk, lp, ls)
+
+
 def test_opt_pipeline_forward_matches_sequential():
     from outeffhop_tpu.models.opt import OPTConfig, init_opt_params, opt_forward
     from outeffhop_tpu.parallel.pipeline import (
