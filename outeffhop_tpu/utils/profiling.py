@@ -234,3 +234,59 @@ def scaling_report(
         "tokens_per_s_per_chip": tokens / tp / step_s,
         "scaling_efficiency": compute_s / step_s,
     }
+
+
+def pipeline_scaling_report(
+    n_layers: int,
+    hidden: int,
+    ffn: int,
+    seq: int,
+    per_chip_batch: int,
+    vocab: int,
+    n_stages: int,
+    n_micro: int,
+    n_data: int = 1,
+    *,
+    measured_mfu: float = 0.5,
+    act_bytes: int = 2,
+    peaks: Optional[dict] = None,
+) -> Dict[str, float]:
+    """PROJECTED GPipe efficiency for the ('pipe','data') mesh of
+    parallel/pipeline.py, grounded like `scaling_report` in the measured
+    single-chip MFU.
+
+    Components:
+      * bubble: the hard GPipe bound M/(M+S−1) — the schedule runs M+S−1
+        ticks, each stage computes during M of them;
+      * hop: one (mb, seq, hidden) activation ppermute per tick per
+        direction over ICI — tiny next to a stage's compute, but modeled;
+      * per-stage compute: 1/S of the layer FLOPs (embedding/head run
+        replicated and are excluded from the trunk split, matching the
+        module's design).
+    """
+    p = device_peaks(peaks)
+    kind = jax.devices()[0].device_kind if jax.devices() else "TPU v5e"
+    ici = (peaks or {}).get("ici_gbps", ICI_GBPS.get(kind, 200.0)) * 1e9
+
+    assert n_layers % n_stages == 0 and n_micro >= 1
+    mb = max(per_chip_batch // n_micro, 1)
+    trunk = transformer_forward_cost(
+        n_layers, hidden, ffn, seq, mb, vocab=0, param_bytes=act_bytes
+    )
+    stage_tick_s = (3.0 * trunk.flops / n_stages) / (
+        p["bf16_tflops"] * 1e12 * max(measured_mfu, 1e-6)
+    )
+    hop_s = (mb * seq * hidden * act_bytes) / ici
+    ticks = n_micro + n_stages - 1
+    bubble_eff = n_micro / ticks
+    step_s = ticks * (stage_tick_s + 2.0 * hop_s)  # fwd + bwd hops
+    ideal_s = n_micro * stage_tick_s
+    tokens = per_chip_batch * seq * n_data
+    return {
+        "bubble_efficiency": bubble_eff,
+        "stage_tick_s": stage_tick_s,
+        "hop_s": hop_s,
+        "step_s": step_s,
+        "pipeline_efficiency": ideal_s / step_s,
+        "tokens_per_s_per_chip": tokens / (n_stages * n_data) / step_s,
+    }

@@ -121,3 +121,19 @@ def test_scaling_report_projection():
     # efficiency degrades monotonically with cross-host dp
     r644 = scaling_report(dp=64, tp=4, **kw)
     assert r644["scaling_efficiency"] <= r84["scaling_efficiency"]
+
+
+def test_pipeline_scaling_report_projection():
+    """GPipe projection (utils/profiling.pipeline_scaling_report): bubble
+    bound M/(M+S-1) dominates; more microbatches -> closer to ideal."""
+    from outeffhop_tpu.utils.profiling import pipeline_scaling_report
+
+    kw = dict(n_layers=12, hidden=768, ffn=3072, seq=128, per_chip_batch=32,
+              vocab=30522, measured_mfu=0.52)
+    r = pipeline_scaling_report(n_stages=4, n_micro=4, **kw)
+    assert abs(r["bubble_efficiency"] - 4 / 7) < 1e-9
+    assert r["pipeline_efficiency"] <= r["bubble_efficiency"] + 1e-9
+    r16 = pipeline_scaling_report(n_stages=4, n_micro=16, **kw)
+    assert r16["pipeline_efficiency"] > r["pipeline_efficiency"]
+    r1 = pipeline_scaling_report(n_stages=1, n_micro=1, **kw)
+    assert r1["pipeline_efficiency"] > 0.99
