@@ -1,13 +1,39 @@
 #!/bin/bash
-# Round-5 chip queue #23: realistic train config row (probe34).
+# Round-6 chip queue #23: probe40 STanHop decomposition (fwd/train, dropout
+# on/off, XLA cost-analysis MFU).
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=2
 
 while ! grep -q "queue22 complete" results/chip_queue22.log 2>/dev/null; do
-  sleep 60
+  sleep 30
 done
 
-echo "[$(date +%H:%M:%S)] running probe34"
-timeout 2700 python results/perf_probe34.py > results/probe34_train_rbg.log 2>&1 \
-  && echo "[$(date +%H:%M:%S)] probe34 DONE" || echo "[$(date +%H:%M:%S)] probe34 FAILED"
+health() {
+  timeout 70 python -c "
+import jax, jax.numpy as jnp
+jax.jit(lambda a: a@a)(jnp.ones((128,128))).block_until_ready()
+" > /dev/null 2>&1
+}
+
+run_task() {
+  local name=$1 cmd=$2 tmo=$3
+  for attempt in 1 2 3; do
+    if health; then
+      echo "[$(date +%H:%M:%S)] running $name (attempt $attempt)"
+      if timeout "$tmo" bash -c "$cmd" > "results/${name}.log" 2>&1; then
+        echo "[$(date +%H:%M:%S)] $name DONE"; return 0
+      fi
+      echo "[$(date +%H:%M:%S)] $name failed/timeout (attempt $attempt)"
+    else
+      echo "[$(date +%H:%M:%S)] tunnel down, waiting ($name)"
+    fi
+    sleep 60
+  done
+  echo "[$(date +%H:%M:%S)] $name GAVE UP"; return 1
+}
+
+for cell in fwd fwd_drop train train_det; do
+  run_task "probe40_${cell}" "PYTHONUNBUFFERED=1 python results/perf_probe40.py ${cell}" 2700
+done
 echo "[$(date +%H:%M:%S)] queue23 complete"
