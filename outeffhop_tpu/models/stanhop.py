@@ -193,11 +193,33 @@ def hopfield(
     b, l, _ = queries.shape
     s = keys.shape[1]
     h = cfg.n_heads
-    qh = common.dense(params["query_projection"], queries, q, "query_projection")
-    kh = common.dense(params["key_projection"], keys, q, "key_projection")
+    if queries is keys and not q.enabled:
+        # self-attention fast path: one (dm -> 2·dk) matmul instead of two
+        # small ones (fewer kernel launches, bigger MXU tile). Identical
+        # numerics (same weights, concatenated on the out-features axis);
+        # disabled under a live quant ctx so per-site weight/act fake-quant
+        # keeps the reference's per-projection granularity.
+        wqk = jnp.concatenate(
+            [params["query_projection"]["weight"], params["key_projection"]["weight"]],
+            axis=0,
+        )
+        bqk = jnp.concatenate(
+            [params["query_projection"]["bias"], params["key_projection"]["bias"]]
+        )
+        qk = queries @ wqk.T + bqk
+        dk = params["query_projection"]["weight"].shape[0]
+        qh, kh = qk[..., :dk], qk[..., dk:]
+    else:
+        qh = common.dense(params["query_projection"], queries, q, "query_projection")
+        kh = common.dense(params["key_projection"], keys, q, "key_projection")
     # NOTE hopfield.py:78: values come from key_projection(keys), where `keys`
-    # is the VALUES argument in the caller; in self-attention they coincide.
-    kv = common.dense(params["key_projection"], values_src, q, "key_projection")
+    # is the VALUES argument in the caller; in self-attention they coincide —
+    # and when they are literally the same array, key_projection(values_src)
+    # IS kh (identical op on identical input): skip the duplicate matmul.
+    if values_src is keys:
+        kv = kh
+    else:
+        kv = common.dense(params["key_projection"], values_src, q, "key_projection")
     vh = common.dense(params["value_projection"], kv, q, "value_projection")
     out = association(
         cfg,
@@ -349,9 +371,10 @@ def seg_merging(params, cfg: STanHopConfig, x: Array, q: ScopedQuantCtx) -> Arra
         pad = w - pad
         x = jnp.concatenate([x, x[:, :, -pad:, :]], axis=2)
         seg_num += pad
-    merged = jnp.concatenate(
-        [x[:, :, i::w, :] for i in range(w)], axis=-1
-    )  # (B, D, seg/w, w·dm)
+    # torch ref concatenates the w strided views x[:, :, i::w, :] along dm
+    # (encoder.py:36-38); [x[jw], x[jw+1], ..] per output row is exactly the
+    # row-major reshape — one free relayout instead of w gathers + concat
+    merged = x.reshape(b, ts_d, seg_num // w, w * dm)
     merged = common.layer_norm(params["norm"], merged, 1e-5)
     return common.dense(params["linear_trans"], merged, q, "linear_trans")
 

@@ -211,3 +211,28 @@ def test_metrics_and_tools():
     assert adjust_learning_rate(1.0, 10, "type1") == 0.5**5
     assert adjust_learning_rate(1.0, 5, "type2") == 0.5
     assert adjust_learning_rate(1.0, 7, "none") == 1.0
+
+
+def test_hopfield_fused_self_attention_path_matches_unfused():
+    """The `queries is keys` fast path (fused q+k matmul, kv = kh reuse) must
+    match the generic path bit-for-bit-close; a COPY of the input defeats the
+    identity checks and exercises the unfused path on identical numbers."""
+    import jax
+    import jax.numpy as jnp
+
+    from outeffhop_tpu.models.stanhop import (
+        STanHopConfig, hopfield, hopfield_params,
+    )
+
+    cfg = STanHopConfig(data_dim=3, in_len=24, out_len=12, seg_len=6,
+                        d_model=32, d_ff=64, n_heads=2, e_layers=1,
+                        dropout=0.0, mode="softmax1")
+    params = hopfield_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 8, 32), jnp.float32)
+    fused = hopfield(params, cfg, x, x, x)           # same object: fast path
+    x2 = jnp.array(x, copy=True)
+    x3 = jnp.array(x, copy=True)
+    assert x2 is not x and x3 is not x2
+    unfused = hopfield(params, cfg, x, x2, x3)       # distinct: generic path
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                               rtol=2e-5, atol=2e-6)
