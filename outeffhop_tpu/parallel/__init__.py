@@ -18,6 +18,9 @@ from outeffhop_tpu.parallel.pipeline import (
     from_bert_pipeline_params,
     to_opt_pipeline_params,
     from_opt_pipeline_params,
+    to_vit_pipeline_params,
+    from_vit_pipeline_params,
+    vit_pipeline_forward,
 )
 
 __all__ = [
@@ -36,4 +39,7 @@ __all__ = [
     "from_bert_pipeline_params",
     "to_opt_pipeline_params",
     "from_opt_pipeline_params",
+    "to_vit_pipeline_params",
+    "from_vit_pipeline_params",
+    "vit_pipeline_forward",
 ]

@@ -254,6 +254,116 @@ def bert_pipeline_mlm_forward(
 
 
 # --------------------------------------------------------------------------
+# ViT on the pipeline
+# --------------------------------------------------------------------------
+
+
+def to_vit_pipeline_params(params, mesh: Mesh):
+    p = {k: v for k, v in params.items() if k != "blocks"}
+    p["stacked_layers"] = stack_layer_params(params["blocks"])
+    return shard_pipeline_params(p, mesh)
+
+
+def from_vit_pipeline_params(pparams, depth: int):
+    p = {k: v for k, v in pparams.items() if k != "stacked_layers"}
+    p["blocks"] = unstack_layer_params(pparams["stacked_layers"], depth)
+    return p
+
+
+def vit_pipeline_forward(
+    pparams,
+    cfg,
+    images: Array,
+    mesh: Mesh,
+    n_micro: int,
+    dropout_rng=None,
+    deterministic: bool = True,
+    use_flash: bool = False,
+):
+    """`vit_forward` with the block trunk pipelined (maskless — the simplest
+    trunk). Patch-embed / final-norm / pool / head run replicated. Same
+    contract notes as `bert_pipeline_mlm_forward`; differentiable, so
+    training drives it with jax.grad over any loss on the logits."""
+    from outeffhop_tpu.models import common
+    from outeffhop_tpu.models.vit import (
+        attention_pool_latent, patch_embed, vit_block,
+    )
+
+    b = images.shape[0]
+    n_stages = mesh.shape["pipe"]
+    n_data = mesh.shape.get("data", 1)
+    assert b % n_micro == 0, f"batch {b} not divisible by {n_micro} microbatches"
+    mb = b // n_micro
+    assert mb % n_data == 0, (
+        f"microbatch {mb} not divisible by {n_data} data replicas"
+    )
+    assert cfg.depth % n_stages == 0, (
+        f"{cfg.depth} blocks not divisible by {n_stages} stages"
+    )
+
+    def run(stacked, other, img_mb, rng):
+        m_, mbl = img_mb.shape[:2]
+        if rng is not None and n_data > 1:
+            rng = jax.random.fold_in(rng, lax.axis_index("data"))
+        imgs = img_mb.reshape((m_ * mbl,) + img_mb.shape[2:])
+        from outeffhop_tpu.quant.calibrate import NULL_QCTX
+
+        x = patch_embed(other["patch_embed"], cfg, imgs, NULL_QCTX)
+        if cfg.class_token:
+            cls = jnp.broadcast_to(
+                other["cls_token"].astype(x.dtype), (x.shape[0], 1, x.shape[-1])
+            )
+            x = jnp.concatenate([cls, x], axis=1)
+        x = x + other["pos_embed"].astype(x.dtype)
+        t = x.shape[1]
+        x_mb = x.reshape(m_, mbl, t, -1)
+
+        def layer_fn(lp, h, g, m):
+            r = (
+                jax.random.fold_in(jax.random.fold_in(rng, g), m)
+                if rng is not None
+                else None
+            )
+            return vit_block(
+                lp, cfg, h, dropout_rng=r, deterministic=deterministic,
+                use_flash=use_flash,
+            )
+
+        out = gpipe_trunk(layer_fn, stacked, x_mb, n_stages)
+        x = out.reshape(m_ * mbl, t, -1)
+        x = common.layer_norm(other["norm"], x, cfg.layer_norm_eps)
+        if cfg.global_pool == "token":
+            pooled = x[:, 0]
+        elif cfg.global_pool == "avg":
+            start = 1 if cfg.class_token else 0
+            pooled = jnp.mean(x[:, start:], axis=1)
+        elif cfg.global_pool == "map":
+            pooled = attention_pool_latent(other["attn_pool"], cfg, x)
+        else:
+            return x.reshape(m_, mbl, t, -1)
+        if cfg.num_classes > 0:
+            pooled = pooled @ other["head"]["weight"].T + other["head"]["bias"]
+        return pooled.reshape(m_, mbl, -1)
+
+    other = {k: v for k, v in pparams.items() if k != "stacked_layers"}
+    mb_spec = P(None, "data") if n_data > 1 else P()
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P("pipe"), P(), mb_spec, P()),
+        out_specs=mb_spec,
+        check_vma=False,
+    )
+    out = sharded(
+        pparams["stacked_layers"],
+        other,
+        images.reshape((n_micro, mb) + images.shape[1:]),
+        dropout_rng,
+    )
+    return out.reshape((b,) + out.shape[2:])
+
+
+# --------------------------------------------------------------------------
 # OPT CLM on the pipeline
 # --------------------------------------------------------------------------
 

@@ -278,3 +278,31 @@ def test_pipeline_dropout_runs_and_is_finite():
         mesh, 2, dropout_rng=jax.random.PRNGKey(5), deterministic=False,
     )
     assert bool(jnp.isfinite(out).all())
+
+
+def test_vit_pipeline_forward_matches_sequential_and_grads():
+    from outeffhop_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
+    from outeffhop_tpu.parallel.pipeline import (
+        to_vit_pipeline_params, vit_pipeline_forward,
+    )
+
+    cfg = ViTConfig(
+        img_size=16, patch_size=4, embed_dim=32, depth=4, num_heads=2,
+        mlp_ratio=2.0, num_classes=10, attn_softmax="softmax1", dropout=0.0,
+        attn_dropout=0.0,
+    )
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(np.random.RandomState(0).randn(8, 16, 16, 3), jnp.float32)
+    ref = vit_forward(params, cfg, imgs, deterministic=True)
+    mesh = make_pipe_mesh(2, 2, devices=jax.devices()[:4])
+    pparams = to_vit_pipeline_params(params, mesh)
+    out = vit_pipeline_forward(pparams, cfg, imgs, mesh, 2, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(pp):
+        o = vit_pipeline_forward(pp, cfg, imgs, mesh, 2, deterministic=True)
+        return jnp.mean(o ** 2)
+
+    g = jax.grad(loss)(pparams)
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
