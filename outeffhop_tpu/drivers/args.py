@@ -187,6 +187,18 @@ def add_data_args(p: argparse.ArgumentParser):
 def add_tpu_args(p: argparse.ArgumentParser):
     g = p.add_argument_group("tpu")
     g.add_argument("--mesh_model", type=int, default=1, help="tensor-parallel axis size")
+    g.add_argument("--pipeline_stages", type=int, default=0,
+                   help="GPipe pipeline parallelism: number of stages (>1 "
+                        "switches run_mlm/run_clm to the ('pipe','data') "
+                        "mesh of parallel/pipeline.py; layers must divide "
+                        "evenly; incompatible with --learn_ranges / "
+                        "--mesh_model)")
+    g.add_argument("--pipeline_microbatches", type=int, default=2,
+                   help="GPipe microbatches per step (bubble fraction "
+                        "(S-1)/(M+S-1))")
+    g.add_argument("--pipeline_data", type=int, default=0,
+                   help="data-parallel replicas inside the pipeline mesh "
+                        "(0 = device_count // pipeline_stages)")
     g.add_argument("--use_flash", action="store_true", default=None)
     g.add_argument("--no_flash", dest="use_flash", action="store_false")
     g.add_argument("--dtype", type=str, default="float32",

@@ -62,8 +62,23 @@ def main(argv=None):
     if args.hidden_dropout is None:
         cfg = dataclasses.replace(cfg, dropout=0.1)
     params = cast_params(init_opt_params(jax.random.PRNGKey(args.seed), cfg), args.dtype)
-    mesh = make_mesh(n_model=max(args.mesh_model, 1))
-    params = shard_params(params, mesh)
+    pipeline = args.pipeline_stages and args.pipeline_stages > 1
+    if pipeline:
+        if args.mesh_model > 1:
+            raise ValueError("--pipeline_stages is incompatible with --mesh_model")
+        from outeffhop_tpu.parallel import make_pipe_mesh, to_opt_pipeline_params
+
+        n_dev = jax.device_count()
+        n_pdata = args.pipeline_data or max(n_dev // args.pipeline_stages, 1)
+        pmesh = make_pipe_mesh(
+            args.pipeline_stages, n_pdata,
+            devices=jax.devices()[: args.pipeline_stages * n_pdata],
+        )
+        mesh = None
+        params = to_opt_pipeline_params(params, pmesh)
+    else:
+        mesh = make_mesh(n_model=max(args.mesh_model, 1))
+        params = shard_params(params, mesh)
 
     block = min(args.block_size, cfg.max_position_embeddings)
     train_batches = make_batches(args, cfg, args.seed, block)
@@ -87,8 +102,16 @@ def main(argv=None):
         flat=args.optimizer_impl == "flat",
     )
     state = init_train_state(params, tx)
-    step_fn = make_clm_train_step(cfg, tx, mesh=mesh, use_flash=bool(args.use_flash),
-                                  remat=args.remat_policy if args.remat else False)
+    if pipeline:
+        from outeffhop_tpu.parallel import make_pipeline_clm_train_step
+
+        step_fn = make_pipeline_clm_train_step(
+            cfg, tx, pmesh, n_micro=args.pipeline_microbatches,
+            use_flash=bool(args.use_flash),
+        )
+    else:
+        step_fn = make_clm_train_step(cfg, tx, mesh=mesh, use_flash=bool(args.use_flash),
+                                      remat=args.remat_policy if args.remat else False)
 
     start_step = 0
     if args.resume_from_checkpoint:
@@ -113,12 +136,15 @@ def main(argv=None):
             global_micro = epoch * len(train_batches) + b_idx
             if global_micro < start_step * args.gradient_accumulation_steps:
                 continue
-            jb = jax.tree.map(
-                lambda x: jax.device_put(
-                    jnp.asarray(x), NamedSharding(mesh, batch_pspec())
-                ),
-                dict(batch),
-            )
+            if pipeline:
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            else:
+                jb = jax.tree.map(
+                    lambda x: jax.device_put(
+                        jnp.asarray(x), NamedSharding(mesh, batch_pspec())
+                    ),
+                    dict(batch),
+                )
             state, loss = step_fn(state, jb, rng)
             losses.append(float(loss))
             if (global_micro + 1) % args.gradient_accumulation_steps == 0:
@@ -134,9 +160,14 @@ def main(argv=None):
             save_checkpoint(args.output_dir, f"epoch_{epoch}", state)
 
     # gather params off the mesh for the eager telemetry eval (see run_mlm)
+    final_params = state.params
+    if pipeline:
+        from outeffhop_tpu.parallel import from_opt_pipeline_params
+
+        final_params = from_opt_pipeline_params(state.params, cfg.num_hidden_layers)
     eval_params = jax.tree.map(
         lambda x: jnp.asarray(jax.device_get(x)) if x is not None else None,
-        state.params,
+        final_params,
         is_leaf=lambda x: x is None,
     )
 

@@ -73,9 +73,26 @@ def main(argv=None):
     params = cast_params(params, args.dtype)
 
     n_dev = jax.device_count()
-    n_model = args.mesh_model if n_dev % max(args.mesh_model, 1) == 0 else 1
-    mesh = make_mesh(n_model=max(n_model, 1))
-    params = shard_params(params, mesh)
+    pipeline = args.pipeline_stages and args.pipeline_stages > 1
+    if pipeline:
+        if args.learn_ranges or args.mesh_model > 1:
+            raise ValueError(
+                "--pipeline_stages is incompatible with --learn_ranges / "
+                "--mesh_model (see parallel/pipeline.py)"
+            )
+        from outeffhop_tpu.parallel import make_pipe_mesh, to_bert_pipeline_params
+
+        n_pdata = args.pipeline_data or max(n_dev // args.pipeline_stages, 1)
+        pmesh = make_pipe_mesh(
+            args.pipeline_stages, n_pdata,
+            devices=jax.devices()[: args.pipeline_stages * n_pdata],
+        )
+        mesh = None
+        params = to_bert_pipeline_params(params, pmesh)
+    else:
+        n_model = args.mesh_model if n_dev % max(args.mesh_model, 1) == 0 else 1
+        mesh = make_mesh(n_model=max(n_model, 1))
+        params = shard_params(params, mesh)
 
     train_batches = make_batches(args, cfg, split_seed=args.seed)
     eval_batches = make_batches(args, cfg, split_seed=1234)[:16]
@@ -122,11 +139,19 @@ def main(argv=None):
         flat=args.optimizer_impl == "flat",
     )
     state = init_train_state(trainable, tx)
-    step_fn = make_mlm_train_step(
-        cfg, tx, mesh=mesh, use_flash=bool(args.use_flash),
-        qat_config=qat_config, grad_scaling=not args.no_range_grad_scaling,
-        remat=args.remat_policy if args.remat else False,
-    )
+    if pipeline:
+        from outeffhop_tpu.parallel import make_pipeline_mlm_train_step
+
+        step_fn = make_pipeline_mlm_train_step(
+            cfg, tx, pmesh, n_micro=args.pipeline_microbatches,
+            use_flash=bool(args.use_flash),
+        )
+    else:
+        step_fn = make_mlm_train_step(
+            cfg, tx, mesh=mesh, use_flash=bool(args.use_flash),
+            qat_config=qat_config, grad_scaling=not args.no_range_grad_scaling,
+            remat=args.remat_policy if args.remat else False,
+        )
 
     start_step = 0
     if args.resume_from_checkpoint:
@@ -155,7 +180,10 @@ def main(argv=None):
             global_micro = epoch * len(train_batches) + b_idx
             if global_micro < start_step * args.gradient_accumulation_steps:
                 continue  # resume skip (run_mlm.py:561-566)
-            jb = put_batch(mesh, dict(batch))
+            if pipeline:
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            else:
+                jb = put_batch(mesh, dict(batch))
             state, loss = step_fn(state, jb, rng)
             losses.append(float(loss))
             if (global_micro + 1) % args.gradient_accumulation_steps == 0:
@@ -198,6 +226,14 @@ def main(argv=None):
     # QAT: split the trained bundle back into model params + a frozen
     # run-mode ctx over the LEARNED ranges (learn→fix transition)
     final_params = state.params
+    if pipeline:
+        # unstack back to the sequential layout so eval / save_pretrained /
+        # the serving stack see the standard param tree
+        from outeffhop_tpu.parallel import from_bert_pipeline_params
+
+        final_params = from_bert_pipeline_params(
+            state.params, cfg.num_hidden_layers
+        )
     eval_qctx = None
     if qat_config is not None:
         from outeffhop_tpu.quant.calibrate import QuantCtx, ScopedQuantCtx

@@ -228,3 +228,32 @@ def test_validate_mlm_real_state_dict(tmp_path):
     # untrained random torch weights: ppl near uniform over 1000 tokens
     assert 200 < res["perplexity"] < 5000
     assert abs(res["delta_perplexity"]) / res["perplexity"] < 0.2
+
+
+def test_run_mlm_pipeline_mode(tmp_path):
+    """--pipeline_stages switches run_mlm onto the GPipe ('pipe','data')
+    mesh; training completes, eval runs on the unstacked params."""
+    from outeffhop_tpu.drivers.run_mlm import main
+
+    out = str(tmp_path / "pp")
+    res = main([
+        "--synthetic_tokens", "6000", "--per_device_train_batch_size", "4",
+        "--max_train_steps", "3", "--num_hidden_layers", "2",
+        "--pipeline_stages", "2", "--pipeline_microbatches", "2",
+        "--pipeline_data", "2", "--output_dir", out,
+    ])
+    assert res["completed_steps"] == 3
+    assert res["perplexity"] > 0
+
+
+def test_run_clm_pipeline_mode():
+    from outeffhop_tpu.drivers.run_clm import main
+
+    res = main([
+        "--synthetic_tokens", "4000", "--per_device_train_batch_size", "4",
+        "--max_train_steps", "2", "--num_hidden_layers", "2",
+        "--block_size", "16", "--pipeline_stages", "2",
+        "--pipeline_microbatches", "2", "--pipeline_data", "1",
+    ])
+    assert res["completed_steps"] == 2
+    assert res["perplexity"] > 0
