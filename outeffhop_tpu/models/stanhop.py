@@ -216,7 +216,11 @@ def hopfield(
     # is the VALUES argument in the caller; in self-attention they coincide —
     # and when they are literally the same array, key_projection(values_src)
     # IS kh (identical op on identical input): skip the duplicate matmul.
-    if values_src is keys:
+    # Not under a live quant ctx: the reference's calibration estimators
+    # OBSERVE the key_projection site once per call (running-minmax EMA
+    # state depends on the observation count), so the duplicate pass is
+    # kept there for bit-exact range parity.
+    if values_src is keys and not q.enabled:
         kv = kh
     else:
         kv = common.dense(params["key_projection"], values_src, q, "key_projection")

@@ -33,7 +33,6 @@ pipeline, then calibrate/serve the checkpoint on the un-stacked model.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
