@@ -108,6 +108,14 @@ class STanHopConfig:
 # ---------------------------------------------------------------------------
 
 
+# A/B flags for the round-6 matmul-lattice trims (probe41): the fused q+k
+# projection and the kv==kh reuse in self-attention. Numerics-identical
+# either way (tested); kept as flags so the win/loss is measurable in
+# isolation on chip.
+_FUSE_SELF_QK = True
+_REUSE_KV = True
+
+
 def association_softmax(cfg: STanHopConfig, scores: Array, pre_alpha: Optional[Array]):
     """(B, H, L, S) scores → probabilities by `cfg.mode`."""
     if cfg.mode == "entmax":
@@ -193,7 +201,7 @@ def hopfield(
     b, l, _ = queries.shape
     s = keys.shape[1]
     h = cfg.n_heads
-    if queries is keys and not q.enabled:
+    if queries is keys and not q.enabled and _FUSE_SELF_QK:
         # self-attention fast path: one (dm -> 2·dk) matmul instead of two
         # small ones (fewer kernel launches, bigger MXU tile). Identical
         # numerics (same weights, concatenated on the out-features axis);
@@ -220,7 +228,7 @@ def hopfield(
     # OBSERVE the key_projection site once per call (running-minmax EMA
     # state depends on the observation count), so the duplicate pass is
     # kept there for bit-exact range parity.
-    if values_src is keys and not q.enabled:
+    if values_src is keys and not q.enabled and _REUSE_KV:
         kv = kh
     else:
         kv = common.dense(params["key_projection"], values_src, q, "key_projection")

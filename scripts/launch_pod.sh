@@ -9,6 +9,11 @@
 # Each host runs the script with --multihost, which calls
 # jax.distributed.initialize() (outeffhop_tpu/parallel/mesh.py:140-170);
 # on TPU VMs coordination auto-detects from the metadata server.
+#
+# Pipeline parallelism on the slice: append
+#     --pipeline_stages 4 --pipeline_microbatches 8
+# to the driver args — run_mlm/run_clm then train on the ('pipe','data')
+# GPipe mesh (parallel/pipeline.py) instead of the dp x tp mesh.
 set -euo pipefail
 
 TPU_NAME=${TPU_NAME:?set TPU_NAME to the tpu-vm name}
