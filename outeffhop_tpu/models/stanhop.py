@@ -108,12 +108,20 @@ class STanHopConfig:
 # ---------------------------------------------------------------------------
 
 
-# A/B flags for the round-6 matmul-lattice trims (probe41): the fused q+k
-# projection and the kv==kh reuse in self-attention. Numerics-identical
-# either way (tested); kept as flags so the win/loss is measurable in
-# isolation on chip.
-_FUSE_SELF_QK = True
-_REUSE_KV = True
+# Round-6 matmul-lattice trims, MEASURED AND REJECTED as defaults
+# (probe41, ETTh1 train step, scan-slope): base 28.82 ms, kv-reuse alone
+# 29.51, both trims 30.54. Removing the duplicate key_projection matmul
+# and fusing q+k are numerics-identical (tested) and strictly less work —
+# and still LOSE: at this small-tile lattice the step is latency/
+# scheduling-bound, and the "redundant" second matmul gives XLA two
+# independent producer chains it can overlap, while the reuse serializes
+# value_projection behind the shared kh and adds a second consumer that
+# blocks its producer fusion. Same family of lesson as the flat-buffer
+# optimizer (round 5) and probe38: HBM/FLOP savings that sit inside the
+# latency-hiding envelope buy nothing. Flags kept for re-measurement at
+# other scales (d_model >= 512 may flip it).
+_FUSE_SELF_QK = False
+_REUSE_KV = False
 
 
 def association_softmax(cfg: STanHopConfig, scores: Array, pre_alpha: Optional[Array]):

@@ -224,12 +224,21 @@ def test_hopfield_fused_self_attention_path_matches_unfused():
         STanHopConfig, hopfield, hopfield_params,
     )
 
+    import outeffhop_tpu.models.stanhop as sh
+
     cfg = STanHopConfig(data_dim=3, in_len=24, out_len=12, seg_len=6,
                         d_model=32, d_ff=64, n_heads=2, e_layers=1,
                         dropout=0.0, mode="softmax1")
     params = hopfield_params(jax.random.PRNGKey(0), cfg)
     x = jnp.asarray(np.random.RandomState(0).randn(4, 8, 32), jnp.float32)
-    fused = hopfield(params, cfg, x, x, x)           # same object: fast path
+    # flags default OFF (probe41 measured the trims slower e2e); force them
+    # on here so the alternate paths stay numerically verified
+    old = sh._FUSE_SELF_QK, sh._REUSE_KV
+    try:
+        sh._FUSE_SELF_QK = sh._REUSE_KV = True
+        fused = hopfield(params, cfg, x, x, x)       # same object: fast path
+    finally:
+        sh._FUSE_SELF_QK, sh._REUSE_KV = old
     x2 = jnp.array(x, copy=True)
     x3 = jnp.array(x, copy=True)
     assert x2 is not x and x3 is not x2
