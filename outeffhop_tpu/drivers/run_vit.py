@@ -195,8 +195,25 @@ def main(argv=None):
 
     cfg = vit_config_from_args(args)
     params = cast_params(init_vit_params(jax.random.PRNGKey(args.seed), cfg), args.dtype)
-    mesh = make_mesh(n_model=max(args.mesh_model, 1))
-    params = shard_params(params, mesh)
+    pipeline = args.pipeline_stages and args.pipeline_stages > 1
+    if pipeline:
+        if args.mesh_model > 1 or args.remat:
+            raise ValueError(
+                "--pipeline_stages is incompatible with --mesh_model/--remat"
+            )
+        from outeffhop_tpu.parallel import make_pipe_mesh, to_vit_pipeline_params
+
+        n_dev = jax.device_count()
+        n_pdata = args.pipeline_data or max(n_dev // args.pipeline_stages, 1)
+        pmesh = make_pipe_mesh(
+            args.pipeline_stages, n_pdata,
+            devices=jax.devices()[: args.pipeline_stages * n_pdata],
+        )
+        mesh = None
+        params = to_vit_pipeline_params(params, pmesh)
+    else:
+        mesh = make_mesh(n_model=max(args.mesh_model, 1))
+        params = shard_params(params, mesh)
 
     (xtr, ytr), (xva, yva) = load_data(args, cfg)
     bs = args.per_device_train_batch_size
@@ -240,10 +257,18 @@ def main(argv=None):
     use_flash = bool(args.use_flash) and jax.default_backend() == "tpu"
 
     def loss_fn(p, images, labels_a, labels_b, lam, rng):
-        logits = vit_forward(
-            p, cfg, images, dropout_rng=rng, deterministic=False,
-            use_flash=use_flash, remat=args.remat_policy if args.remat else False,
-        )
+        if pipeline:
+            from outeffhop_tpu.parallel import vit_pipeline_forward
+
+            logits = vit_pipeline_forward(
+                p, cfg, images, pmesh, args.pipeline_microbatches,
+                dropout_rng=rng, deterministic=False, use_flash=use_flash,
+            )
+        else:
+            logits = vit_forward(
+                p, cfg, images, dropout_rng=rng, deterministic=False,
+                use_flash=use_flash, remat=args.remat_policy if args.remat else False,
+            )
         la = smoothed_ce(logits, labels_a, args.smoothing)
         lb = smoothed_ce(logits, labels_b, args.smoothing)
         return lam * la + (1 - lam) * lb
@@ -277,7 +302,15 @@ def main(argv=None):
 
     @jax.jit
     def eval_step(p, images, labels):
-        logits = vit_forward(p, cfg, images, deterministic=True, use_flash=use_flash)
+        if pipeline:
+            from outeffhop_tpu.parallel import vit_pipeline_forward
+
+            logits = vit_pipeline_forward(
+                p, cfg, images, pmesh, args.pipeline_microbatches,
+                deterministic=True, use_flash=use_flash,
+            )
+        else:
+            logits = vit_forward(p, cfg, images, deterministic=True, use_flash=use_flash)
         return (
             accuracy_topk(logits, labels, k=1),
             accuracy_topk(logits, labels, k=min(5, cfg.num_classes)),
@@ -307,13 +340,16 @@ def main(argv=None):
     tracker = init_tracker(args, config=vars(args))
     rng = dropout_key(args.seed + 99, args.rng_impl, args.dropout_rng_bits)
     best_top1, losses, completed = -1.0, [], 0
-    batch_sharding = NamedSharding(mesh, batch_pspec())
+    batch_sharding = None if pipeline else NamedSharding(mesh, batch_pspec())
     for epoch in range(start_epoch, args.num_train_epochs):
         perm = np.random.RandomState(args.seed + epoch).permutation(len(xtr))
         for s in range(0, len(perm) - bs + 1, bs):
             sel = perm[s:s + bs]
-            imgs = jax.device_put(jnp.asarray(xtr[sel]), batch_sharding)
-            labs = jax.device_put(jnp.asarray(ytr[sel]), batch_sharding)
+            if pipeline:
+                imgs, labs = jnp.asarray(xtr[sel]), jnp.asarray(ytr[sel])
+            else:
+                imgs = jax.device_put(jnp.asarray(xtr[sel]), batch_sharding)
+                labs = jax.device_put(jnp.asarray(ytr[sel]), batch_sharding)
             params, opt_state, ema_params, loss = train_step(
                 params, opt_state, ema_params, imgs, labs,
                 jax.random.fold_in(rng, completed),

@@ -257,3 +257,16 @@ def test_run_clm_pipeline_mode():
     ])
     assert res["completed_steps"] == 2
     assert res["perplexity"] > 0
+
+
+def test_run_vit_pipeline_mode():
+    from outeffhop_tpu.drivers.run_vit import main
+
+    res = main([
+        "--max_train_steps", "2", "--per_device_train_batch_size", "4",
+        "--num_hidden_layers", "2", "--train_samples", "16",
+        "--pipeline_stages", "2", "--pipeline_microbatches", "2",
+        "--pipeline_data", "2",
+    ])
+    assert res["completed_steps"] == 2
+    assert 0.0 <= res["top1"] <= 100.0
