@@ -107,7 +107,7 @@ def main(argv=None):
 
         step_fn = make_pipeline_clm_train_step(
             cfg, tx, pmesh, n_micro=args.pipeline_microbatches,
-            use_flash=bool(args.use_flash),
+            use_flash=bool(args.use_flash), remat=bool(args.remat),
         )
     else:
         step_fn = make_clm_train_step(cfg, tx, mesh=mesh, use_flash=bool(args.use_flash),

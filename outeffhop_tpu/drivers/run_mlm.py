@@ -144,7 +144,7 @@ def main(argv=None):
 
         step_fn = make_pipeline_mlm_train_step(
             cfg, tx, pmesh, n_micro=args.pipeline_microbatches,
-            use_flash=bool(args.use_flash),
+            use_flash=bool(args.use_flash), remat=bool(args.remat),
         )
     else:
         step_fn = make_mlm_train_step(

@@ -197,10 +197,8 @@ def main(argv=None):
     params = cast_params(init_vit_params(jax.random.PRNGKey(args.seed), cfg), args.dtype)
     pipeline = args.pipeline_stages and args.pipeline_stages > 1
     if pipeline:
-        if args.mesh_model > 1 or args.remat:
-            raise ValueError(
-                "--pipeline_stages is incompatible with --mesh_model/--remat"
-            )
+        if args.mesh_model > 1:
+            raise ValueError("--pipeline_stages is incompatible with --mesh_model")
         from outeffhop_tpu.parallel import make_pipe_mesh, to_vit_pipeline_params
 
         n_dev = jax.device_count()
@@ -263,6 +261,7 @@ def main(argv=None):
             logits = vit_pipeline_forward(
                 p, cfg, images, pmesh, args.pipeline_microbatches,
                 dropout_rng=rng, deterministic=False, use_flash=use_flash,
+                remat=bool(args.remat),
             )
         else:
             logits = vit_forward(

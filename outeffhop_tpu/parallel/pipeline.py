@@ -22,8 +22,10 @@ dp×pp composition is built in: `make_pipe_mesh(n_stages, n_data)` makes a
 2-D ``('pipe', 'data')`` mesh, microbatches shard their batch dim over
 `data`, and the gradient all-reduce across replicas falls out of the
 shard_map transpose (replicated param in_specs psum their cotangents over
-every mesh axis). tp×pp (a third `model` axis) is left to the caller's
-mesh construction.
+every mesh axis). tp×pp is NOT composed here: inside shard_map the layer
+code is per-device and would need explicit psums after the row-parallel
+matmuls — use dp×pp (this module) or dp×tp (`parallel/mesh.py`), not both
+model-sharding schemes at once.
 
 Quant-ctx / telemetry-tape threading is deliberately NOT supported inside
 the pipeline trunk (sites are discovered per layer index, which is a
@@ -167,6 +169,7 @@ def bert_pipeline_mlm_forward(
     dropout_rng=None,
     deterministic: bool = True,
     use_flash: bool = False,
+    remat: bool = False,
 ):
     """`bert_mlm_forward` with the encoder trunk pipelined over `pipe`.
 
@@ -225,6 +228,11 @@ def bert_pipeline_mlm_forward(
                 use_flash=use_flash,
             )
 
+        if remat:
+            # per-tick jax.checkpoint: recompute stage activations in the
+            # backward — the lever that matters for PP, where M microbatches
+            # of residuals are live at once
+            layer_fn = jax.checkpoint(layer_fn)
         out = gpipe_trunk(layer_fn, stacked, x_mb, n_stages)
         x = out.reshape(m_ * mbl, t_, -1)
         head = other["head"]
@@ -278,6 +286,7 @@ def vit_pipeline_forward(
     dropout_rng=None,
     deterministic: bool = True,
     use_flash: bool = False,
+    remat: bool = False,
 ):
     """`vit_forward` with the block trunk pipelined (maskless — the simplest
     trunk). Patch-embed / final-norm / pool / head run replicated. Same
@@ -328,6 +337,11 @@ def vit_pipeline_forward(
                 use_flash=use_flash,
             )
 
+        if remat:
+            # per-tick jax.checkpoint: recompute stage activations in the
+            # backward — the lever that matters for PP, where M microbatches
+            # of residuals are live at once
+            layer_fn = jax.checkpoint(layer_fn)
         out = gpipe_trunk(layer_fn, stacked, x_mb, n_stages)
         x = out.reshape(m_ * mbl, t, -1)
         x = common.layer_norm(other["norm"], x, cfg.layer_norm_eps)
@@ -389,6 +403,7 @@ def opt_pipeline_forward(
     dropout_rng=None,
     deterministic: bool = True,
     use_flash: bool = False,
+    remat: bool = False,
 ):
     """`opt_forward` (no-cache training path) with the decoder trunk
     pipelined — same contract notes as `bert_pipeline_mlm_forward`."""
@@ -448,6 +463,11 @@ def opt_pipeline_forward(
                 use_flash=use_flash,
             )[0]
 
+        if remat:
+            # per-tick jax.checkpoint: recompute stage activations in the
+            # backward — the lever that matters for PP, where M microbatches
+            # of residuals are live at once
+            layer_fn = jax.checkpoint(layer_fn)
         out = gpipe_trunk(layer_fn, stacked, x_mb, n_stages)
         h = out.reshape(m_ * mbl, t_, -1)
         h = common.layer_norm(other["final_ln"], h, cfg.layer_norm_eps)
@@ -481,7 +501,7 @@ def opt_pipeline_forward(
 
 
 def make_pipeline_clm_train_step(cfg, tx, mesh: Mesh, n_micro: int,
-                                 use_flash: bool = False):
+                                 use_flash: bool = False, remat: bool = False):
     """Pipelined analogue of `make_clm_train_step`."""
     from outeffhop_tpu.models.opt import clm_loss
     from outeffhop_tpu.parallel.train import TrainState
@@ -494,7 +514,7 @@ def make_pipeline_clm_train_step(cfg, tx, mesh: Mesh, n_micro: int,
             logits = opt_pipeline_forward(
                 pparams, cfg, batch["input_ids"], batch.get("attention_mask"),
                 mesh, n_micro, dropout_rng=rng,
-                deterministic=False, use_flash=use_flash,
+                deterministic=False, use_flash=use_flash, remat=remat,
             )
             return clm_loss(logits, batch["labels"])
 
@@ -510,7 +530,7 @@ def make_pipeline_clm_train_step(cfg, tx, mesh: Mesh, n_micro: int,
 
 
 def make_pipeline_mlm_train_step(cfg, tx, mesh: Mesh, n_micro: int,
-                                 use_flash: bool = False):
+                                 use_flash: bool = False, remat: bool = False):
     """Pipelined analogue of `make_mlm_train_step` (same TrainState / tx
     contract; batch replicated across stages, grads correct via the
     shard_map transpose's psum over the masked last-stage loss)."""
@@ -525,7 +545,7 @@ def make_pipeline_mlm_train_step(cfg, tx, mesh: Mesh, n_micro: int,
             logits = bert_pipeline_mlm_forward(
                 pparams, cfg, batch["input_ids"], batch.get("attention_mask"),
                 mesh, n_micro, dropout_rng=rng,
-                deterministic=False, use_flash=use_flash,
+                deterministic=False, use_flash=use_flash, remat=remat,
             )
             return mlm_loss(logits, batch["labels"])
 

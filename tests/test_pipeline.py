@@ -306,3 +306,28 @@ def test_vit_pipeline_forward_matches_sequential_and_grads():
 
     g = jax.grad(loss)(pparams)
     assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
+
+
+def test_pipeline_remat_grads_match_no_remat():
+    """remat=True (per-tick jax.checkpoint) must not change gradients."""
+    cfg = _cfg(4)
+    params = init_bert_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg)
+    mesh = make_pipe_mesh(2, devices=jax.devices()[:2])
+    pparams = to_bert_pipeline_params(params, mesh)
+
+    def loss(pp, remat):
+        logits = bert_pipeline_mlm_forward(
+            pp, cfg, batch["input_ids"], batch["attention_mask"],
+            mesh, 2, deterministic=True, remat=remat,
+        )
+        return mlm_loss(logits, batch["labels"])
+
+    g0 = jax.grad(lambda pp: loss(pp, False))(pparams)
+    g1 = jax.grad(lambda pp: loss(pp, True))(pparams)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-7
+        ),
+        g0, g1,
+    )
