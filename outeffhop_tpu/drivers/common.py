@@ -206,3 +206,16 @@ def cast_params(params, dtype):
         params,
         is_leaf=lambda x: x is None,
     )
+
+
+def build_pipeline_mesh(args):
+    """Shared driver helper: the ('pipe','data') mesh for --pipeline_stages,
+    with the --pipeline_data fallback of device_count // stages."""
+    from outeffhop_tpu.parallel import make_pipe_mesh
+
+    n_dev = jax.device_count()
+    n_pdata = args.pipeline_data or max(n_dev // args.pipeline_stages, 1)
+    return make_pipe_mesh(
+        args.pipeline_stages, n_pdata,
+        devices=jax.devices()[: args.pipeline_stages * n_pdata],
+    )

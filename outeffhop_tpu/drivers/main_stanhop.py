@@ -151,7 +151,12 @@ def train(args, cfg: STanHopConfig, setting: str):
         return tot / max(cnt, 1)
 
     stopper = EarlyStopping(patience=args.patience)
-    rng = jax.random.PRNGKey(args.seed + 1)
+    # dropout_key also resets the process-global dropout bit-width (a prior
+    # in-process run_mlm(--dropout_rng_bits 8) must not leak into this run)
+    from outeffhop_tpu.drivers.common import dropout_key
+
+    rng = dropout_key(args.seed + 1, getattr(args, "rng_impl", "auto"),
+                      getattr(args, "dropout_rng_bits", 32))
     for epoch in range(args.train_epochs):
         lr = adjust_learning_rate(args.learning_rate, epoch + 1, args.lradj)
         opt_state.inner_states if hasattr(opt_state, "inner_states") else None

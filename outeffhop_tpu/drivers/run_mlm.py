@@ -80,13 +80,10 @@ def main(argv=None):
                 "--pipeline_stages is incompatible with --learn_ranges / "
                 "--mesh_model (see parallel/pipeline.py)"
             )
-        from outeffhop_tpu.parallel import make_pipe_mesh, to_bert_pipeline_params
+        from outeffhop_tpu.drivers.common import build_pipeline_mesh
+        from outeffhop_tpu.parallel import to_bert_pipeline_params
 
-        n_pdata = args.pipeline_data or max(n_dev // args.pipeline_stages, 1)
-        pmesh = make_pipe_mesh(
-            args.pipeline_stages, n_pdata,
-            devices=jax.devices()[: args.pipeline_stages * n_pdata],
-        )
+        pmesh = build_pipeline_mesh(args)
         mesh = None
         params = to_bert_pipeline_params(params, pmesh)
     else:
@@ -144,7 +141,8 @@ def main(argv=None):
 
         step_fn = make_pipeline_mlm_train_step(
             cfg, tx, pmesh, n_micro=args.pipeline_microbatches,
-            use_flash=bool(args.use_flash), remat=bool(args.remat),
+            use_flash=bool(args.use_flash),
+            remat=args.remat_policy if args.remat else False,
         )
     else:
         step_fn = make_mlm_train_step(

@@ -199,14 +199,10 @@ def main(argv=None):
     if pipeline:
         if args.mesh_model > 1:
             raise ValueError("--pipeline_stages is incompatible with --mesh_model")
-        from outeffhop_tpu.parallel import make_pipe_mesh, to_vit_pipeline_params
+        from outeffhop_tpu.drivers.common import build_pipeline_mesh
+        from outeffhop_tpu.parallel import to_vit_pipeline_params
 
-        n_dev = jax.device_count()
-        n_pdata = args.pipeline_data or max(n_dev // args.pipeline_stages, 1)
-        pmesh = make_pipe_mesh(
-            args.pipeline_stages, n_pdata,
-            devices=jax.devices()[: args.pipeline_stages * n_pdata],
-        )
+        pmesh = build_pipeline_mesh(args)
         mesh = None
         params = to_vit_pipeline_params(params, pmesh)
     else:
@@ -261,7 +257,7 @@ def main(argv=None):
             logits = vit_pipeline_forward(
                 p, cfg, images, pmesh, args.pipeline_microbatches,
                 dropout_rng=rng, deterministic=False, use_flash=use_flash,
-                remat=bool(args.remat),
+                remat=args.remat_policy if args.remat else False,
             )
         else:
             logits = vit_forward(

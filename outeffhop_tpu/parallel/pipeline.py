@@ -145,18 +145,26 @@ def gpipe_trunk(
 # --------------------------------------------------------------------------
 
 
-def to_bert_pipeline_params(params, mesh: Mesh):
-    """{'embeddings', 'layers': [...], 'head', ...} → pipeline pytree with
-    ``stacked_layers`` sharded over `pipe` (leading layer axis)."""
-    p = {k: v for k, v in params.items() if k != "layers"}
-    p["stacked_layers"] = stack_layer_params(params["layers"])
+def to_pipeline_params(params, mesh: Mesh, layers_key: str = "layers"):
+    """{..., layers_key: [...]} → pipeline pytree with ``stacked_layers``
+    sharded over `pipe` (leading layer axis); everything else replicated."""
+    p = {k: v for k, v in params.items() if k != layers_key}
+    p["stacked_layers"] = stack_layer_params(params[layers_key])
     return shard_pipeline_params(p, mesh)
 
 
-def from_bert_pipeline_params(pparams, n_layers: int):
+def from_pipeline_params(pparams, n_layers: int, layers_key: str = "layers"):
     p = {k: v for k, v in pparams.items() if k != "stacked_layers"}
-    p["layers"] = unstack_layer_params(pparams["stacked_layers"], n_layers)
+    p[layers_key] = unstack_layer_params(pparams["stacked_layers"], n_layers)
     return p
+
+
+def to_bert_pipeline_params(params, mesh: Mesh):
+    return to_pipeline_params(params, mesh, "layers")
+
+
+def from_bert_pipeline_params(pparams, n_layers: int):
+    return from_pipeline_params(pparams, n_layers, "layers")
 
 
 def bert_pipeline_mlm_forward(
@@ -201,9 +209,6 @@ def bert_pipeline_mlm_forward(
         if attention_mask is not None
         else jnp.zeros((b, 1, 1, t), jnp.float32)
     )
-    rngs = (
-        jax.random.split(dropout_rng, 2) if dropout_rng is not None else [None, None]
-    )
 
     def run(stacked, other, ids_mb, mask_mb, rng):
         m_, mbl, t_ = ids_mb.shape  # local: mb sharded over 'data'
@@ -229,10 +234,14 @@ def bert_pipeline_mlm_forward(
             )
 
         if remat:
-            # per-tick jax.checkpoint: recompute stage activations in the
+            # per-layer jax.checkpoint: recompute stage activations in the
             # backward — the lever that matters for PP, where M microbatches
-            # of residuals are live at once
-            layer_fn = jax.checkpoint(layer_fn)
+            # of residuals are live at once. `remat` is the same
+            # False | True | "full" | "dots" knob as the sequential
+            # forwards (common.checkpoint_layer honors --remat_policy).
+            from outeffhop_tpu.models.common import checkpoint_layer
+
+            layer_fn = checkpoint_layer(layer_fn, remat)
         out = gpipe_trunk(layer_fn, stacked, x_mb, n_stages)
         x = out.reshape(m_ * mbl, t_, -1)
         head = other["head"]
@@ -255,7 +264,7 @@ def bert_pipeline_mlm_forward(
         other,
         input_ids.reshape(n_micro, mb, t),
         ext_mask.reshape(n_micro, mb, *ext_mask.shape[1:]),
-        rngs[1],
+        dropout_rng,
     )
     return logits.reshape(b, t, -1)
 
@@ -266,15 +275,11 @@ def bert_pipeline_mlm_forward(
 
 
 def to_vit_pipeline_params(params, mesh: Mesh):
-    p = {k: v for k, v in params.items() if k != "blocks"}
-    p["stacked_layers"] = stack_layer_params(params["blocks"])
-    return shard_pipeline_params(p, mesh)
+    return to_pipeline_params(params, mesh, "blocks")
 
 
 def from_vit_pipeline_params(pparams, depth: int):
-    p = {k: v for k, v in pparams.items() if k != "stacked_layers"}
-    p["blocks"] = unstack_layer_params(pparams["stacked_layers"], depth)
-    return p
+    return from_pipeline_params(pparams, depth, "blocks")
 
 
 def vit_pipeline_forward(
@@ -338,10 +343,14 @@ def vit_pipeline_forward(
             )
 
         if remat:
-            # per-tick jax.checkpoint: recompute stage activations in the
+            # per-layer jax.checkpoint: recompute stage activations in the
             # backward — the lever that matters for PP, where M microbatches
-            # of residuals are live at once
-            layer_fn = jax.checkpoint(layer_fn)
+            # of residuals are live at once. `remat` is the same
+            # False | True | "full" | "dots" knob as the sequential
+            # forwards (common.checkpoint_layer honors --remat_policy).
+            from outeffhop_tpu.models.common import checkpoint_layer
+
+            layer_fn = checkpoint_layer(layer_fn, remat)
         out = gpipe_trunk(layer_fn, stacked, x_mb, n_stages)
         x = out.reshape(m_ * mbl, t, -1)
         x = common.layer_norm(other["norm"], x, cfg.layer_norm_eps)
@@ -382,15 +391,11 @@ def vit_pipeline_forward(
 
 
 def to_opt_pipeline_params(params, mesh: Mesh):
-    p = {k: v for k, v in params.items() if k != "layers"}
-    p["stacked_layers"] = stack_layer_params(params["layers"])
-    return shard_pipeline_params(p, mesh)
+    return to_pipeline_params(params, mesh, "layers")
 
 
 def from_opt_pipeline_params(pparams, n_layers: int):
-    p = {k: v for k, v in pparams.items() if k != "stacked_layers"}
-    p["layers"] = unstack_layer_params(pparams["stacked_layers"], n_layers)
-    return p
+    return from_pipeline_params(pparams, n_layers, "layers")
 
 
 def opt_pipeline_forward(
@@ -464,10 +469,14 @@ def opt_pipeline_forward(
             )[0]
 
         if remat:
-            # per-tick jax.checkpoint: recompute stage activations in the
+            # per-layer jax.checkpoint: recompute stage activations in the
             # backward — the lever that matters for PP, where M microbatches
-            # of residuals are live at once
-            layer_fn = jax.checkpoint(layer_fn)
+            # of residuals are live at once. `remat` is the same
+            # False | True | "full" | "dots" knob as the sequential
+            # forwards (common.checkpoint_layer honors --remat_policy).
+            from outeffhop_tpu.models.common import checkpoint_layer
+
+            layer_fn = checkpoint_layer(layer_fn, remat)
         out = gpipe_trunk(layer_fn, stacked, x_mb, n_stages)
         h = out.reshape(m_ * mbl, t_, -1)
         h = common.layer_norm(other["final_ln"], h, cfg.layer_norm_eps)

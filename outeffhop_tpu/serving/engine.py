@@ -129,19 +129,23 @@ def _sample(
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits.astype(jnp.float32) / temperature
-    if top_k > 0:
-        kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
-        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
-    if top_p < 1.0:
-        # one descending sort; mass strictly BEFORE each position decides the
-        # cut, so the top token (and any token straddling the boundary) stays
+    if top_k > 0 or top_p < 1.0:
+        # ONE descending sort serves both filters (decode hot path)
         srt = jnp.sort(scaled, axis=-1)[:, ::-1]
-        probs = jax.nn.softmax(srt, axis=-1)
-        mass_before = jnp.cumsum(probs, axis=-1) - probs
-        keep = mass_before < top_p  # (B, V) over sorted order, monotone
-        n_keep = jnp.sum(keep, axis=-1)  # ≥ 1
-        cutoff = jnp.take_along_axis(srt, (n_keep - 1)[:, None], axis=-1)
-        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+        if top_k > 0:
+            kth = srt[:, top_k - 1][:, None]
+            scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+            srt = jnp.where(jnp.arange(srt.shape[-1]) < top_k, srt, -jnp.inf)
+        if top_p < 1.0:
+            # mass strictly BEFORE each position decides the cut, so the top
+            # token (and any token straddling the boundary) stays;
+            # max(n_keep, 1) keeps top_p=0 degenerate to argmax-only
+            probs = jax.nn.softmax(srt, axis=-1)
+            mass_before = jnp.cumsum(probs, axis=-1) - probs
+            keep = mass_before < top_p  # (B, V) over sorted order, monotone
+            n_keep = jnp.maximum(jnp.sum(keep, axis=-1), 1)
+            cutoff = jnp.take_along_axis(srt, (n_keep - 1)[:, None], axis=-1)
+            scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
     return jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
 
 

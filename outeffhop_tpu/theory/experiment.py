@@ -169,6 +169,11 @@ class Exp:
     # -- train / test (plotting.py:128-168) ---------------------------------
     def train(self, xs, ys) -> Tuple[float, float]:
         losses, matches, n = [], 0, 0
+        # reset the process-global dropout bit-width (see drivers/common.
+        # dropout_key) so a prior in-process --dropout_rng_bits run can't leak
+        from outeffhop_tpu.models.common import set_dropout_rng_bits
+
+        set_dropout_rng_bits(32)
         rng = jax.random.PRNGKey(1000 * self.args.seed + self._epoch)
         for i, (x, y) in enumerate(
             theory_data.iterate_batches(xs, ys, self.args.batch_size, seed=self._epoch)

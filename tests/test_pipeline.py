@@ -207,6 +207,9 @@ def test_pipeline_dp_pp_grads_match_sequential():
                                    rtol=5e-4, atol=5e-5)
 
     jax.tree.map(chk, g_pipe["embeddings"], g_seq["embeddings"])
+    # the head is the riskiest dp x pp transpose path: its cotangent is
+    # psum'd over BOTH mesh axes (replicated in_spec under shard_map)
+    jax.tree.map(chk, g_pipe["head"], g_seq["head"])
     for lp, ls in zip(g_pipe["layers"], g_seq["layers"]):
         jax.tree.map(chk, lp, ls)
 

@@ -121,6 +121,10 @@ def test_sample_top_p_masks_tail():
     # composes with top_k: k=3 then p=0.94 keeps exactly {0, 1, 2}
     toks = np.asarray(_sample(logits, rng, 1.0, 3, 0.94))
     assert set(np.unique(toks)) == {0, 1, 2}
+    # top_p=0.0 exactly degrades to argmax-only (n_keep clamps to 1; the
+    # -1 cutoff index must not wrap to the smallest logit)
+    toks = np.asarray(_sample(logits, rng, 1.0, 0, 0.0))
+    assert set(np.unique(toks)) == {0}
 
 
 def test_engine_slot_reuse_interleaved(opt):
