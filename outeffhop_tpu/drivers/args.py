@@ -163,6 +163,16 @@ def add_training_args(p: argparse.ArgumentParser):
     g.add_argument("--max_checkpointing_number", type=int, default=None,
                    help="keep only the newest N checkpoints "
                         "(accelerate total_limit, run_mlm.py:108-109)")
+    g.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of a window of train "
+                        "steps into this directory (tensorboard/xprof "
+                        "viewable). The reference has no profiler subsystem "
+                        "(SURVEY.md par.5); this is the TPU equivalent")
+    g.add_argument("--profile_start_step", type=int, default=2,
+                   help="first micro-step inside the trace (default 2 keeps "
+                        "compile + first dispatch out of the capture)")
+    g.add_argument("--profile_steps", type=int, default=3,
+                   help="number of micro-steps to capture")
 
 
 def add_data_args(p: argparse.ArgumentParser):

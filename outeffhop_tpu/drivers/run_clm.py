@@ -122,6 +122,11 @@ def main(argv=None):
     if args.checkpointing_steps and args.checkpointing_steps != "epoch":
         ckpt_every = int(args.checkpointing_steps)
 
+    from outeffhop_tpu.utils.profiling import StepProfiler
+
+    profiler = StepProfiler(
+        args.profile_dir, args.profile_start_step, args.profile_steps
+    )
     rng = dropout_key(args.seed + 7, args.rng_impl, args.dropout_rng_bits)
     completed = start_step
     losses = []
@@ -143,6 +148,7 @@ def main(argv=None):
                     dict(batch),
                 )
             state, loss = step_fn(state, jb, rng)
+            profiler.tick(global_micro, fence_on=loss)
             losses.append(float(loss))
             if (global_micro + 1) % args.gradient_accumulation_steps == 0:
                 completed += 1
@@ -156,6 +162,7 @@ def main(argv=None):
         if args.checkpointing_steps == "epoch" and args.output_dir:
             save_checkpoint(args.output_dir, f"epoch_{epoch}", state)
 
+    profiler.close()
     # gather params off the mesh for the eager telemetry eval (see run_mlm)
     final_params = state.params
     if pipeline:

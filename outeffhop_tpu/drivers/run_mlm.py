@@ -167,6 +167,11 @@ def main(argv=None):
     from outeffhop_tpu.utils.tracking import init_tracker
 
     tracker = init_tracker(args, config=vars(args))
+    from outeffhop_tpu.utils.profiling import StepProfiler
+
+    profiler = StepProfiler(
+        args.profile_dir, args.profile_start_step, args.profile_steps
+    )
     rng = dropout_key(args.seed + 7, args.rng_impl, args.dropout_rng_bits)
     completed = start_step
     losses = []
@@ -183,6 +188,7 @@ def main(argv=None):
             else:
                 jb = put_batch(mesh, dict(batch))
             state, loss = step_fn(state, jb, rng)
+            profiler.tick(global_micro, fence_on=loss)
             losses.append(float(loss))
             if (global_micro + 1) % args.gradient_accumulation_steps == 0:
                 completed += 1
@@ -221,6 +227,7 @@ def main(argv=None):
         if args.checkpointing_steps == "epoch" and args.output_dir:
             save_checkpoint(args.output_dir, f"epoch_{epoch}", state)
 
+    profiler.close()
     # QAT: split the trained bundle back into model params + a frozen
     # run-mode ctx over the LEARNED ranges (learn→fix transition)
     final_params = state.params

@@ -333,6 +333,11 @@ def main(argv=None):
     from outeffhop_tpu.utils.tracking import init_tracker
 
     tracker = init_tracker(args, config=vars(args))
+    from outeffhop_tpu.utils.profiling import StepProfiler
+
+    profiler = StepProfiler(
+        args.profile_dir, args.profile_start_step, args.profile_steps
+    )
     rng = dropout_key(args.seed + 99, args.rng_impl, args.dropout_rng_bits)
     best_top1, losses, completed = -1.0, [], 0
     batch_sharding = None if pipeline else NamedSharding(mesh, batch_pspec())
@@ -349,6 +354,7 @@ def main(argv=None):
                 params, opt_state, ema_params, imgs, labs,
                 jax.random.fold_in(rng, completed),
             )
+            profiler.tick(completed, fence_on=loss)
             losses.append(float(loss))
             completed += 1
             if (
@@ -382,6 +388,7 @@ def main(argv=None):
         if args.max_train_steps and completed >= args.max_train_steps:
             break
 
+    profiler.close()
     top1, top5 = validate(params)
     results = {
         "train_loss": float(np.mean(losses[-50:])) if losses else None,

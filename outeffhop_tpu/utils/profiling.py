@@ -57,6 +57,52 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+class StepProfiler:
+    """Capture a jax.profiler trace of a window of train-loop steps.
+
+    Drivers construct one from `--profile_dir/--profile_start_step/
+    --profile_steps` and call `tick(step, fence_on=loss)` once per step (after
+    the step function). The trace starts at `start` (default 2, so compile and
+    the first dispatch stay out of the capture) and stops `steps` steps later,
+    fencing on the supplied array so every dispatched program is actually in
+    the trace (through the remote-TPU tunnel, `block_until_ready` alone can
+    return early — same reason as `fence`). A `logdir` of None makes every
+    method a no-op, so drivers can call `tick` unconditionally.
+
+    The reference has no profiler hook-up at all (SURVEY.md §5); this is the
+    TPU-native equivalent of "run it under nsight": the dumped directory is
+    viewable with tensorboard's profile plugin / xprof.
+    """
+
+    def __init__(self, logdir: Optional[str], start: int = 2, steps: int = 3):
+        self.logdir = logdir
+        self.start = start
+        self.stop = start + steps
+        self._running = False
+
+    def tick(self, step: int, fence_on=None) -> None:
+        if self.logdir is None:
+            return
+        if not self._running and self.start <= step < self.stop:
+            jax.profiler.start_trace(self.logdir)
+            self._running = True
+        elif self._running and step >= self.stop:
+            if fence_on is not None:
+                fence(fence_on)
+            jax.profiler.stop_trace()
+            self._running = False
+            print(f"profiler trace written to {self.logdir}")
+
+    def close(self, fence_on=None) -> None:
+        """Stop the trace if the loop ended inside the capture window."""
+        if self._running:
+            if fence_on is not None:
+                fence(fence_on)
+            jax.profiler.stop_trace()
+            self._running = False
+            print(f"profiler trace written to {self.logdir}")
+
+
 def fence(x) -> float:
     """Device fence that is reliable through the remote-TPU tunnel: a scalar
     host transfer (block_until_ready alone can return early there)."""

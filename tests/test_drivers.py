@@ -270,3 +270,26 @@ def test_run_vit_pipeline_mode():
     ])
     assert res["completed_steps"] == 2
     assert 0.0 <= res["top1"] <= 100.0
+
+
+def test_run_mlm_profile_dir(tmp_path):
+    """--profile_dir captures a jax.profiler trace of the step window
+    (SURVEY.md par.5: the reference has no profiler subsystem; ours does)."""
+    from outeffhop_tpu.drivers.run_mlm import main
+
+    prof = str(tmp_path / "trace")
+    res = main([
+        "--synthetic_tokens", "6000", "--per_device_train_batch_size", "4",
+        "--max_train_steps", "4", "--num_hidden_layers", "2",
+        "--profile_dir", prof, "--profile_start_step", "1",
+        "--profile_steps", "2",
+    ])
+    assert res["completed_steps"] == 4
+    # jax writes plugins/profile/<ts>/*.xplane.pb under the logdir
+    found = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(prof)
+        for f in fs
+        if f.endswith(".xplane.pb") or f.endswith(".trace.json.gz")
+    ]
+    assert found, f"no trace artifacts under {prof}"
