@@ -79,9 +79,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_pred", action="store_true")
     p.add_argument("--synthetic_len", type=int, default=2000)
     p.add_argument("--quantize", action="store_true")
+    p.add_argument("--execute_int8", action="store_true",
+                   help="with --quantize: run calibrated symmetric dense "
+                        "weights as real int8*int8->int32 MXU ops "
+                        "(quant/int8_exec.py) instead of fake-quant "
+                        "simulation — same flag as validate_mlm/clm/vit")
     p.add_argument("--est_num_batches", type=int, default=8)
+    p.add_argument("--save_quantized_dir", type=str, default=None,
+                   help="with --quantize: save the calibrated quant state "
+                        "(qparams + int8 weights under --execute_int8) — the "
+                        "quantized-STanHop checkpoints the reference README "
+                        "advertises but ships no code for "
+                        "(OutEffHop/STanHop_outlier/ is empty)")
+    p.add_argument("--load_quantized_dir", type=str, default=None,
+                   help="reload a saved quant state and skip recalibration")
     p.add_argument("--eval_dir", type=str, default=None,
                    help="restore args.json+checkpoint from a past run and test only")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of train steps "
+                        "2..4 into this directory (see run_mlm --profile_dir)")
     p.add_argument("--platform", type=str, default=None)
     return p
 
@@ -157,6 +173,10 @@ def train(args, cfg: STanHopConfig, setting: str):
 
     rng = dropout_key(args.seed + 1, getattr(args, "rng_impl", "auto"),
                       getattr(args, "dropout_rng_bits", 32))
+    from outeffhop_tpu.utils.profiling import StepProfiler
+
+    profiler = StepProfiler(getattr(args, "profile_dir", None))
+    step_idx = 0
     for epoch in range(args.train_epochs):
         lr = adjust_learning_rate(args.learning_rate, epoch + 1, args.lradj)
         opt_state.inner_states if hasattr(opt_state, "inner_states") else None
@@ -169,6 +189,8 @@ def train(args, cfg: STanHopConfig, setting: str):
             params, opt_state, loss = train_step(
                 params, opt_state, jnp.asarray(x), jnp.asarray(y), sub
             )
+            profiler.tick(step_idx, fence_on=loss)
+            step_idx += 1
             lf = float(loss)
             if not np.isfinite(lf):
                 raise ValueError("NaN loss")  # exp_stanhop.py:263-264
@@ -180,6 +202,7 @@ def train(args, cfg: STanHopConfig, setting: str):
             save_params_npz(os.path.join(ckpt_dir, "checkpoint.npz"), jax.device_get(params))
         if stop:
             break
+    profiler.close()
     # reload best (exp_stanhop.py:283-286)
     params = load_params_npz(os.path.join(ckpt_dir, "checkpoint.npz"), params)
     return params, train_set.scaler.statistic()
@@ -237,7 +260,8 @@ def quantize_forecaster(args, cfg, params, scale_statistic):
             break
     config = QuantizedModelConfig(est_num_batches=args.est_num_batches)
     return build_quant_ctx(
-        lambda b, q: stanhop_forward(params, cfg, b, q=q), config, calib
+        lambda b, q: stanhop_forward(params, cfg, b, q=q), config, calib,
+        execute_int8=getattr(args, "execute_int8", False),
     )
 
 
@@ -273,7 +297,17 @@ def main(argv=None):
         params, stat = train(args, cfg, setting)
         res = test(args, cfg, params, stat, setting)
         if args.quantize:
-            qctx = quantize_forecaster(args, cfg, params, stat)
+            if args.load_quantized_dir:
+                # recalibration-free reload (validate_clm --load_quantized_dir)
+                from outeffhop_tpu.quant.checkpoint import quant_ctx_from_ckpt
+
+                qctx = quant_ctx_from_ckpt(args.load_quantized_dir)
+            else:
+                qctx = quantize_forecaster(args, cfg, params, stat)
+            if args.save_quantized_dir:
+                from outeffhop_tpu.quant.checkpoint import save_quantized_ckpt
+
+                save_quantized_ckpt(args.save_quantized_dir, qctx)
             qres = test(args, cfg, params, stat, setting + "_int8", qctx=qctx)
             res.update({f"int8_{k}": v for k, v in qres.items()})
         all_results.append(res)

@@ -293,3 +293,52 @@ def test_run_mlm_profile_dir(tmp_path):
         if f.endswith(".xplane.pb") or f.endswith(".trace.json.gz")
     ]
     assert found, f"no trace artifacts under {prof}"
+
+
+def test_main_stanhop_execute_int8(tmp_path, monkeypatch):
+    """--quantize --execute_int8: the forecaster's calibrated dense sites run
+    as real W8A8 int8 matmuls; metrics must track the fake-quant simulation
+    (same agreement contract as validate_mlm/clm --execute_int8)."""
+    from outeffhop_tpu.drivers.main_stanhop import main
+
+    monkeypatch.chdir(tmp_path)
+    common = [
+        "--in_len", "24", "--out_len", "12", "--seg_len", "6",
+        "--d_model", "16", "--d_ff", "32", "--n_heads", "2", "--e_layers", "2",
+        "--train_epochs", "1", "--batch_size", "16", "--synthetic_len", "400",
+        "--mode", "softmax1", "--dropout", "0.0", "--est_num_batches", "2",
+        "--seed", "3",
+    ]
+    sim = main(common + ["--quantize", "--checkpoints", str(tmp_path / "a")])
+    ex = main(common + ["--quantize", "--execute_int8",
+                        "--checkpoints", str(tmp_path / "b")])
+    assert np.isfinite(ex[0]["int8_mse"])
+    # identical training seed -> identical FP params; int8 execution vs
+    # fake-quant simulation agree to simulation tolerance
+    assert abs(ex[0]["mse"] - sim[0]["mse"]) < 1e-6
+    assert abs(ex[0]["int8_mse"] - sim[0]["int8_mse"]) < 5e-3 * max(
+        1.0, abs(sim[0]["int8_mse"])
+    )
+
+
+def test_main_stanhop_quantized_ckpt_roundtrip(tmp_path, monkeypatch):
+    """--save_quantized_dir / --load_quantized_dir: the calibrated forecaster
+    quant state round-trips (recalibration-free reload gives identical int8
+    metrics) — the quantized-STanHop checkpoint capability the reference
+    README advertises with no code behind it (STanHop_outlier/ empty)."""
+    from outeffhop_tpu.drivers.main_stanhop import main
+
+    monkeypatch.chdir(tmp_path)
+    common = [
+        "--in_len", "24", "--out_len", "12", "--seg_len", "6",
+        "--d_model", "16", "--d_ff", "32", "--n_heads", "2", "--e_layers", "2",
+        "--train_epochs", "1", "--batch_size", "16", "--synthetic_len", "400",
+        "--mode", "softmax1", "--dropout", "0.0", "--est_num_batches", "2",
+        "--seed", "11", "--quantize",
+    ]
+    qdir = str(tmp_path / "qstate")
+    a = main(common + ["--save_quantized_dir", qdir,
+                       "--checkpoints", str(tmp_path / "a")])
+    b = main(common + ["--load_quantized_dir", qdir,
+                       "--checkpoints", str(tmp_path / "b")])
+    assert abs(a[0]["int8_mse"] - b[0]["int8_mse"]) < 1e-6
