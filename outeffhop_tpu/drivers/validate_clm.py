@@ -153,7 +153,17 @@ def main(argv=None):
         return token_nll(logits, labels, shift=True)
 
     results = {}
-    fp_loss, fp_telem = eval_loop(loss_and_count, eval_batches, max_telemetry_batches=100)
+    if args.profile_dir:
+        from outeffhop_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir):
+            fp_loss, fp_telem = eval_loop(
+                loss_and_count, eval_batches, max_telemetry_batches=100
+            )
+    else:
+        fp_loss, fp_telem = eval_loop(
+            loss_and_count, eval_batches, max_telemetry_batches=100
+        )
     results["perplexity"] = math.exp(fp_loss)
     results.update({f"fp_{k}": v for k, v in fp_telem.items()})
 

@@ -175,7 +175,14 @@ def main(argv=None):
         return token_nll(logits, labels)
 
     results = {}
-    fp_loss, fp_telem = eval_loop(loss_and_count, eval_batches)
+    if args.profile_dir:
+        # trace the FP eval loop (jitted per-batch programs incl. telemetry)
+        from outeffhop_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir):
+            fp_loss, fp_telem = eval_loop(loss_and_count, eval_batches)
+    else:
+        fp_loss, fp_telem = eval_loop(loss_and_count, eval_batches)
     results["perplexity"] = math.exp(fp_loss)
     results.update({f"fp_{k}": v for k, v in fp_telem.items()})
 

@@ -134,7 +134,13 @@ def main(argv=None):
     from outeffhop_tpu.quant.calibrate import NULL_QCTX
 
     results = {}
-    results["top1"], results["top5"] = evaluate(NULL_QCTX)
+    if args.profile_dir:
+        from outeffhop_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir):
+            results["top1"], results["top5"] = evaluate(NULL_QCTX)
+    else:
+        results["top1"], results["top5"] = evaluate(NULL_QCTX)
 
     if args.quantize:
         config = A.quant_config_from_args(args)
