@@ -123,6 +123,18 @@ class STanHopConfig:
 _FUSE_SELF_QK = False
 _REUSE_KV = False
 
+# Round-7 candidate: HopfieldPooling's keys/values are a SHARED learnable
+# prototype bank ((1, factor, dm), hopfield.py:111-131) broadcast over the
+# batch — the default formulation projects the broadcast copies (batch x
+# redundant rows through key/value_projection) and then runs batch-many tiny
+# (L, E)x(E, S) attention tiles. With this flag the bank is projected ONCE
+# and the attention contracts against the shared (S, H, E) keys directly
+# ('blhe,she->bhls'), turning the per-example tile lattice into a few large
+# MXU-shaped matmuls. Bit-identical rows (linear ops are row-independent);
+# disabled under a live quant ctx so calibration observes the reference's
+# per-call tensor shapes.
+_POOL_SHARED_KEYS = False
+
 
 def association_softmax(cfg: STanHopConfig, scores: Array, pre_alpha: Optional[Array]):
     """(B, H, L, S) scores → probabilities by `cfg.mode`."""
@@ -158,13 +170,22 @@ def association(
 ) -> Array:
     """hopfield.py:42-51 — scale applied to scores BEFORE softmax."""
     scale = 1.0 / math.sqrt(queries.shape[-1])
-    scores = jnp.einsum("blhe,bshe->bhls", queries, keys) * scale
+    shared_kv = keys.shape[0] == 1 and queries.shape[0] != 1
+    if shared_kv:
+        # keys/values are batch-shared (HopfieldPooling prototype bank under
+        # _POOL_SHARED_KEYS): contract against the (S, H, E) bank directly —
+        # one large (B·L, E)x(E, S) matmul per head instead of B tiny tiles
+        scores = jnp.einsum("blhe,she->bhls", queries, keys[0]) * scale
+    else:
+        scores = jnp.einsum("blhe,bshe->bhls", queries, keys) * scale
     scores = tape.record("attn_scores", scores)
     scores = q.act("attn_scores", scores)
     probs = association_softmax(cfg, scores, pre_alpha)
     probs = tape.record("attn_probs", probs)
     probs = q.act("attn_probs", probs)
     probs = common.dropout(probs, cfg.dropout, dropout_rng, deterministic)
+    if shared_kv:
+        return jnp.einsum("bhls,shd->blhd", probs, values[0])
     return jnp.einsum("bhls,bshd->blhd", probs, values)
 
 
@@ -267,16 +288,26 @@ def hopfield_pooling(
     """HopfieldPooling (hopfield.py:92-141): learnable prototype keys."""
     b, l, _ = query.shape
     h = cfg.n_heads
-    k = jnp.broadcast_to(params["key"], (b,) + params["key"].shape[1:])
-    s = k.shape[1]
+    s = params["key"].shape[1]
     qh = common.dense(params["query_projection"], query, q, "query_projection")
-    kh = common.dense(params["key_projection"], k, q, "key_projection")
-    vh = common.dense(params["value_projection"], kh, q, "value_projection")
+    if _POOL_SHARED_KEYS and not q.enabled:
+        # project the (1, factor, dm) bank ONCE; association contracts
+        # against the shared bank without materializing broadcast copies
+        kh = common.dense(params["key_projection"], params["key"], q,
+                          "key_projection")
+        vh = common.dense(params["value_projection"], kh, q,
+                          "value_projection")
+        kb, vb = kh.reshape(1, s, h, -1), vh.reshape(1, s, h, -1)
+    else:
+        k = jnp.broadcast_to(params["key"], (b,) + params["key"].shape[1:])
+        kh = common.dense(params["key_projection"], k, q, "key_projection")
+        vh = common.dense(params["value_projection"], kh, q, "value_projection")
+        kb, vb = kh.reshape(b, s, h, -1), vh.reshape(b, s, h, -1)
     out = association(
         cfg,
         qh.reshape(b, l, h, -1),
-        kh.reshape(b, s, h, -1),
-        vh.reshape(b, s, h, -1),
+        kb,
+        vb,
         params.get("pre_alpha"),
         q=q, tape=tape, dropout_rng=dropout_rng, deterministic=deterministic,
     )

@@ -245,3 +245,42 @@ def test_hopfield_fused_self_attention_path_matches_unfused():
     unfused = hopfield(params, cfg, x, x2, x3)       # distinct: generic path
     np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_hopfield_pooling_shared_keys_path_matches_broadcast():
+    """_POOL_SHARED_KEYS projects the (1, factor, dm) prototype bank once and
+    contracts 'blhe,she->bhls' against the shared bank; must match the
+    broadcast-then-project default to fp tolerance, and the full forward
+    must agree too."""
+    import jax
+    import jax.numpy as jnp
+
+    import outeffhop_tpu.models.stanhop as sh
+    from outeffhop_tpu.models.stanhop import (
+        STanHopConfig, hopfield_params, hopfield_pooling,
+        init_stanhop_params, stanhop_forward,
+    )
+
+    cfg = STanHopConfig(data_dim=3, in_len=24, out_len=12, seg_len=6,
+                        d_model=32, d_ff=64, n_heads=2, e_layers=2,
+                        factor=5, dropout=0.0, mode="softmax1")
+    params = hopfield_params(jax.random.PRNGKey(1), cfg, pooling=True)
+    x = jnp.asarray(np.random.RandomState(1).randn(6, 8, 32), jnp.float32)
+    base = hopfield_pooling(params, cfg, x)
+    old = sh._POOL_SHARED_KEYS
+    try:
+        sh._POOL_SHARED_KEYS = True
+        shared = hopfield_pooling(params, cfg, x)
+        full_p = init_stanhop_params(jax.random.PRNGKey(2), cfg)
+        seq = jnp.asarray(
+            np.random.RandomState(2).randn(4, cfg.in_len, cfg.data_dim),
+            jnp.float32,
+        )
+        shared_fwd = stanhop_forward(full_p, cfg, seq)
+    finally:
+        sh._POOL_SHARED_KEYS = old
+    np.testing.assert_allclose(np.asarray(base), np.asarray(shared),
+                               rtol=1e-5, atol=1e-5)
+    base_fwd = stanhop_forward(full_p, cfg, seq)
+    np.testing.assert_allclose(np.asarray(base_fwd), np.asarray(shared_fwd),
+                               rtol=1e-4, atol=1e-4)
