@@ -169,8 +169,10 @@ def add_training_args(p: argparse.ArgumentParser):
                         "viewable). The reference has no profiler subsystem "
                         "(SURVEY.md par.5); this is the TPU equivalent")
     g.add_argument("--profile_start_step", type=int, default=2,
-                   help="first micro-step inside the trace (default 2 keeps "
-                        "compile + first dispatch out of the capture)")
+                   help="trace window start: the capture is fenced after this "
+                        "micro-step's dispatch, so it covers steps "
+                        "start+1..start+steps (default 2 keeps compile + "
+                        "first dispatches out of the capture)")
     g.add_argument("--profile_steps", type=int, default=3,
                    help="number of micro-steps to capture")
 

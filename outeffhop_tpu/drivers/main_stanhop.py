@@ -176,33 +176,35 @@ def train(args, cfg: STanHopConfig, setting: str):
     from outeffhop_tpu.utils.profiling import StepProfiler
 
     profiler = StepProfiler(getattr(args, "profile_dir", None))
-    step_idx = 0
-    for epoch in range(args.train_epochs):
-        lr = adjust_learning_rate(args.learning_rate, epoch + 1, args.lradj)
-        opt_state.inner_states if hasattr(opt_state, "inner_states") else None
-        opt_state[1].hyperparams["learning_rate"] = jnp.asarray(lr)
-        losses = []
-        for i, (x, y) in enumerate(
-            train_set.batches(args.batch_size, shuffle=True, seed=epoch)
-        ):
-            rng, sub = jax.random.split(rng)
-            params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(x), jnp.asarray(y), sub
-            )
-            profiler.tick(step_idx, fence_on=loss)
-            step_idx += 1
-            lf = float(loss)
-            if not np.isfinite(lf):
-                raise ValueError("NaN loss")  # exp_stanhop.py:263-264
-            losses.append(lf)
-        val_loss = vali(params, val_set)
-        print(f"epoch {epoch}: train {np.mean(losses):.5f} val {val_loss:.5f} lr {lr:g}")
-        save, stop = stopper.update(val_loss)
-        if save:
-            save_params_npz(os.path.join(ckpt_dir, "checkpoint.npz"), jax.device_get(params))
-        if stop:
-            break
-    profiler.close()
+    try:
+        step_idx = 0
+        for epoch in range(args.train_epochs):
+            lr = adjust_learning_rate(args.learning_rate, epoch + 1, args.lradj)
+            opt_state.inner_states if hasattr(opt_state, "inner_states") else None
+            opt_state[1].hyperparams["learning_rate"] = jnp.asarray(lr)
+            losses = []
+            for i, (x, y) in enumerate(
+                train_set.batches(args.batch_size, shuffle=True, seed=epoch)
+            ):
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss = train_step(
+                    params, opt_state, jnp.asarray(x), jnp.asarray(y), sub
+                )
+                profiler.tick(step_idx, fence_on=loss)
+                step_idx += 1
+                lf = float(loss)
+                if not np.isfinite(lf):
+                    raise ValueError("NaN loss")  # exp_stanhop.py:263-264
+                losses.append(lf)
+            val_loss = vali(params, val_set)
+            print(f"epoch {epoch}: train {np.mean(losses):.5f} val {val_loss:.5f} lr {lr:g}")
+            save, stop = stopper.update(val_loss)
+            if save:
+                save_params_npz(os.path.join(ckpt_dir, "checkpoint.npz"), jax.device_get(params))
+            if stop:
+                break
+    finally:
+        profiler.close()
     # reload best (exp_stanhop.py:283-286)
     params = load_params_npz(os.path.join(ckpt_dir, "checkpoint.npz"), params)
     return params, train_set.scaler.statistic()
@@ -266,7 +268,25 @@ def quantize_forecaster(args, cfg, params, scale_statistic):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not args.quantize:
+        for flag in ("execute_int8", "save_quantized_dir", "load_quantized_dir"):
+            if getattr(args, flag):
+                parser.error(f"--{flag} requires --quantize (it is silently "
+                             "a no-op otherwise)")
+    if args.execute_int8 and args.load_quantized_dir:
+        print("WARNING: --execute_int8 with --load_quantized_dir: the loaded "
+              "checkpoint decides the execution mode; if it was saved without "
+              "--execute_int8 it carries no int8 weights and this flag has "
+              "no effect.")
+    if args.execute_int8 and args.d_model < 1024:
+        print(f"WARNING: --execute_int8 at d_model={args.d_model}: real int8 "
+              "execution MEASURED SLOWER than fp32 at small-tile forecaster "
+              "shapes (probe42: 8.31 vs 7.29 ms/step at d_model=256 — "
+              "per-site quant/dequant overhead exceeds the int8 MXU win "
+              "below ~1024-wide matmuls). Use it for deployment-parity "
+              "accuracy evaluation, not speed.")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 

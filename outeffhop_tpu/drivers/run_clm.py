@@ -127,42 +127,44 @@ def main(argv=None):
     profiler = StepProfiler(
         args.profile_dir, args.profile_start_step, args.profile_steps
     )
-    rng = dropout_key(args.seed + 7, args.rng_impl, args.dropout_rng_bits)
-    completed = start_step
-    losses = []
-    done = False
-    for epoch in range(args.num_train_epochs):
-        if done:
-            break
-        for b_idx, batch in enumerate(train_batches):
-            global_micro = epoch * len(train_batches) + b_idx
-            if global_micro < start_step * args.gradient_accumulation_steps:
-                continue
-            if pipeline:
-                jb = {k: jnp.asarray(v) for k, v in batch.items()}
-            else:
-                jb = jax.tree.map(
-                    lambda x: jax.device_put(
-                        jnp.asarray(x), NamedSharding(mesh, batch_pspec())
-                    ),
-                    dict(batch),
-                )
-            state, loss = step_fn(state, jb, rng)
-            profiler.tick(global_micro, fence_on=loss)
-            losses.append(float(loss))
-            if (global_micro + 1) % args.gradient_accumulation_steps == 0:
-                completed += 1
-                if ckpt_every and args.output_dir and completed % ckpt_every == 0:
-                    save_checkpoint(args.output_dir, f"step_{completed}", state)
-                    if args.max_checkpointing_number:
-                        prune_checkpoints(args.output_dir, args.max_checkpointing_number)
-                if completed >= total_steps:
-                    done = True
-                    break
-        if args.checkpointing_steps == "epoch" and args.output_dir:
-            save_checkpoint(args.output_dir, f"epoch_{epoch}", state)
+    try:
+        rng = dropout_key(args.seed + 7, args.rng_impl, args.dropout_rng_bits)
+        completed = start_step
+        losses = []
+        done = False
+        for epoch in range(args.num_train_epochs):
+            if done:
+                break
+            for b_idx, batch in enumerate(train_batches):
+                global_micro = epoch * len(train_batches) + b_idx
+                if global_micro < start_step * args.gradient_accumulation_steps:
+                    continue
+                if pipeline:
+                    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                else:
+                    jb = jax.tree.map(
+                        lambda x: jax.device_put(
+                            jnp.asarray(x), NamedSharding(mesh, batch_pspec())
+                        ),
+                        dict(batch),
+                    )
+                state, loss = step_fn(state, jb, rng)
+                profiler.tick(global_micro, fence_on=loss)
+                losses.append(float(loss))
+                if (global_micro + 1) % args.gradient_accumulation_steps == 0:
+                    completed += 1
+                    if ckpt_every and args.output_dir and completed % ckpt_every == 0:
+                        save_checkpoint(args.output_dir, f"step_{completed}", state)
+                        if args.max_checkpointing_number:
+                            prune_checkpoints(args.output_dir, args.max_checkpointing_number)
+                    if completed >= total_steps:
+                        done = True
+                        break
+            if args.checkpointing_steps == "epoch" and args.output_dir:
+                save_checkpoint(args.output_dir, f"epoch_{epoch}", state)
 
-    profiler.close()
+    finally:
+        profiler.close()
     # gather params off the mesh for the eager telemetry eval (see run_mlm)
     final_params = state.params
     if pipeline:

@@ -172,62 +172,64 @@ def main(argv=None):
     profiler = StepProfiler(
         args.profile_dir, args.profile_start_step, args.profile_steps
     )
-    rng = dropout_key(args.seed + 7, args.rng_impl, args.dropout_rng_bits)
-    completed = start_step
-    losses = []
-    done = False
-    for epoch in range(args.num_train_epochs):
-        if done:
-            break
-        for b_idx, batch in enumerate(train_batches):
-            global_micro = epoch * len(train_batches) + b_idx
-            if global_micro < start_step * args.gradient_accumulation_steps:
-                continue  # resume skip (run_mlm.py:561-566)
-            if pipeline:
-                jb = {k: jnp.asarray(v) for k, v in batch.items()}
-            else:
-                jb = put_batch(mesh, dict(batch))
-            state, loss = step_fn(state, jb, rng)
-            profiler.tick(global_micro, fence_on=loss)
-            losses.append(float(loss))
-            if (global_micro + 1) % args.gradient_accumulation_steps == 0:
-                completed += 1
-                if (
-                    args.tb_scalar_log_interval
-                    and completed % args.tb_scalar_log_interval == 0
-                ):
-                    tracker.log({"train/loss": losses[-1]}, completed)
-                if (
-                    args.tb_hist_log_interval
-                    and completed % args.tb_hist_log_interval == 0
-                ):
-                    # weight histograms + inf-norms (run_mlm_ddp.py:617-641)
-                    model_params = (
-                        state.params["model"] if qat_config is not None else state.params
-                    )
-                    flat = jax.tree_util.tree_flatten_with_path(
-                        model_params, is_leaf=lambda x: x is None
-                    )[0]
-                    for path, leaf in flat:
-                        if leaf is None or leaf.ndim < 2:
-                            continue
-                        name = "/".join(
-                            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+    try:
+        rng = dropout_key(args.seed + 7, args.rng_impl, args.dropout_rng_bits)
+        completed = start_step
+        losses = []
+        done = False
+        for epoch in range(args.num_train_epochs):
+            if done:
+                break
+            for b_idx, batch in enumerate(train_batches):
+                global_micro = epoch * len(train_batches) + b_idx
+                if global_micro < start_step * args.gradient_accumulation_steps:
+                    continue  # resume skip (run_mlm.py:561-566)
+                if pipeline:
+                    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                else:
+                    jb = put_batch(mesh, dict(batch))
+                state, loss = step_fn(state, jb, rng)
+                profiler.tick(global_micro, fence_on=loss)
+                losses.append(float(loss))
+                if (global_micro + 1) % args.gradient_accumulation_steps == 0:
+                    completed += 1
+                    if (
+                        args.tb_scalar_log_interval
+                        and completed % args.tb_scalar_log_interval == 0
+                    ):
+                        tracker.log({"train/loss": losses[-1]}, completed)
+                    if (
+                        args.tb_hist_log_interval
+                        and completed % args.tb_hist_log_interval == 0
+                    ):
+                        # weight histograms + inf-norms (run_mlm_ddp.py:617-641)
+                        model_params = (
+                            state.params["model"] if qat_config is not None else state.params
                         )
-                        tracker.log_histogram(
-                            f"weights/{name}", jax.device_get(leaf), completed
-                        )
-                if ckpt_every and args.output_dir and completed % ckpt_every == 0:
-                    save_checkpoint(args.output_dir, f"step_{completed}", state)
-                    if args.max_checkpointing_number:
-                        prune_checkpoints(args.output_dir, args.max_checkpointing_number)
-                if completed >= total_steps:
-                    done = True
-                    break
-        if args.checkpointing_steps == "epoch" and args.output_dir:
-            save_checkpoint(args.output_dir, f"epoch_{epoch}", state)
+                        flat = jax.tree_util.tree_flatten_with_path(
+                            model_params, is_leaf=lambda x: x is None
+                        )[0]
+                        for path, leaf in flat:
+                            if leaf is None or leaf.ndim < 2:
+                                continue
+                            name = "/".join(
+                                str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+                            )
+                            tracker.log_histogram(
+                                f"weights/{name}", jax.device_get(leaf), completed
+                            )
+                    if ckpt_every and args.output_dir and completed % ckpt_every == 0:
+                        save_checkpoint(args.output_dir, f"step_{completed}", state)
+                        if args.max_checkpointing_number:
+                            prune_checkpoints(args.output_dir, args.max_checkpointing_number)
+                    if completed >= total_steps:
+                        done = True
+                        break
+            if args.checkpointing_steps == "epoch" and args.output_dir:
+                save_checkpoint(args.output_dir, f"epoch_{epoch}", state)
 
-    profiler.close()
+    finally:
+        profiler.close()
     # QAT: split the trained bundle back into model params + a frozen
     # run-mode ctx over the LEARNED ranges (learn→fix transition)
     final_params = state.params

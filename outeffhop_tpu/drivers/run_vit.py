@@ -338,57 +338,59 @@ def main(argv=None):
     profiler = StepProfiler(
         args.profile_dir, args.profile_start_step, args.profile_steps
     )
-    rng = dropout_key(args.seed + 99, args.rng_impl, args.dropout_rng_bits)
-    best_top1, losses, completed = -1.0, [], 0
-    batch_sharding = None if pipeline else NamedSharding(mesh, batch_pspec())
-    for epoch in range(start_epoch, args.num_train_epochs):
-        perm = np.random.RandomState(args.seed + epoch).permutation(len(xtr))
-        for s in range(0, len(perm) - bs + 1, bs):
-            sel = perm[s:s + bs]
-            if pipeline:
-                imgs, labs = jnp.asarray(xtr[sel]), jnp.asarray(ytr[sel])
-            else:
-                imgs = jax.device_put(jnp.asarray(xtr[sel]), batch_sharding)
-                labs = jax.device_put(jnp.asarray(ytr[sel]), batch_sharding)
-            params, opt_state, ema_params, loss = train_step(
-                params, opt_state, ema_params, imgs, labs,
-                jax.random.fold_in(rng, completed),
-            )
-            profiler.tick(completed, fence_on=loss)
-            losses.append(float(loss))
-            completed += 1
-            if (
-                args.tb_scalar_log_interval
-                and completed % args.tb_scalar_log_interval == 0
-            ):
-                w_inf = max(
-                    float(jnp.max(jnp.abs(l)))
-                    for l in jax.tree.leaves(params)
-                    if l is not None
+    try:
+        rng = dropout_key(args.seed + 99, args.rng_impl, args.dropout_rng_bits)
+        best_top1, losses, completed = -1.0, [], 0
+        batch_sharding = None if pipeline else NamedSharding(mesh, batch_pspec())
+        for epoch in range(start_epoch, args.num_train_epochs):
+            perm = np.random.RandomState(args.seed + epoch).permutation(len(xtr))
+            for s in range(0, len(perm) - bs + 1, bs):
+                sel = perm[s:s + bs]
+                if pipeline:
+                    imgs, labs = jnp.asarray(xtr[sel]), jnp.asarray(ytr[sel])
+                else:
+                    imgs = jax.device_put(jnp.asarray(xtr[sel]), batch_sharding)
+                    labs = jax.device_put(jnp.asarray(ytr[sel]), batch_sharding)
+                params, opt_state, ema_params, loss = train_step(
+                    params, opt_state, ema_params, imgs, labs,
+                    jax.random.fold_in(rng, completed),
                 )
-                print(f"step {completed} loss {losses[-1]:.4f} max|w|_inf {w_inf:.3f}")
+                profiler.tick(completed, fence_on=loss)
+                losses.append(float(loss))
+                completed += 1
+                if (
+                    args.tb_scalar_log_interval
+                    and completed % args.tb_scalar_log_interval == 0
+                ):
+                    w_inf = max(
+                        float(jnp.max(jnp.abs(l)))
+                        for l in jax.tree.leaves(params)
+                        if l is not None
+                    )
+                    print(f"step {completed} loss {losses[-1]:.4f} max|w|_inf {w_inf:.3f}")
+                if args.max_train_steps and completed >= args.max_train_steps:
+                    break
+            top1, top5 = validate(params)
+            tracker.log(
+                {"train/loss": losses[-1] if losses else 0.0, "eval/top1": top1,
+                 "eval/top5": top5}, epoch,
+            )
+            if args.model_ema:
+                e1, _ = validate(ema_params)
+                print(f"epoch {epoch}: top1 {top1:.4f} top5 {top5:.4f} ema_top1 {e1:.4f}")
+            else:
+                print(f"epoch {epoch}: top1 {top1:.4f} top5 {top5:.4f}")
+            if args.output_dir:
+                save_checkpoint(args.output_dir, f"epoch_{epoch}",
+                                {"params": params, "opt": opt_state})
+                if top1 > best_top1:
+                    save_checkpoint(args.output_dir, "best", {"params": params, "opt": opt_state})
+            best_top1 = max(best_top1, top1)
             if args.max_train_steps and completed >= args.max_train_steps:
                 break
-        top1, top5 = validate(params)
-        tracker.log(
-            {"train/loss": losses[-1] if losses else 0.0, "eval/top1": top1,
-             "eval/top5": top5}, epoch,
-        )
-        if args.model_ema:
-            e1, _ = validate(ema_params)
-            print(f"epoch {epoch}: top1 {top1:.4f} top5 {top5:.4f} ema_top1 {e1:.4f}")
-        else:
-            print(f"epoch {epoch}: top1 {top1:.4f} top5 {top5:.4f}")
-        if args.output_dir:
-            save_checkpoint(args.output_dir, f"epoch_{epoch}",
-                            {"params": params, "opt": opt_state})
-            if top1 > best_top1:
-                save_checkpoint(args.output_dir, "best", {"params": params, "opt": opt_state})
-        best_top1 = max(best_top1, top1)
-        if args.max_train_steps and completed >= args.max_train_steps:
-            break
 
-    profiler.close()
+    finally:
+        profiler.close()
     top1, top5 = validate(params)
     results = {
         "train_loss": float(np.mean(losses[-50:])) if losses else None,

@@ -123,17 +123,24 @@ class STanHopConfig:
 _FUSE_SELF_QK = False
 _REUSE_KV = False
 
-# Round-7 candidate: HopfieldPooling's keys/values are a SHARED learnable
-# prototype bank ((1, factor, dm), hopfield.py:111-131) broadcast over the
-# batch — the default formulation projects the broadcast copies (batch x
-# redundant rows through key/value_projection) and then runs batch-many tiny
+# HopfieldPooling's keys/values are a SHARED learnable prototype bank
+# ((1, factor, dm), hopfield.py:111-131) broadcast over the batch — the
+# reference formulation projects the broadcast copies (batch x redundant
+# rows through key/value_projection) and then runs batch-many tiny
 # (L, E)x(E, S) attention tiles. With this flag the bank is projected ONCE
 # and the attention contracts against the shared (S, H, E) keys directly
 # ('blhe,she->bhls'), turning the per-example tile lattice into a few large
-# MXU-shaped matmuls. Bit-identical rows (linear ops are row-independent);
-# disabled under a live quant ctx so calibration observes the reference's
-# per-call tensor shapes.
-_POOL_SHARED_KEYS = False
+# MXU-shaped matmuls. Bit-identical rows (linear ops are row-independent;
+# fwd + grad equivalence tested in tests/test_stanhop.py); disabled under a
+# live quant ctx so calibration observes the reference's per-call tensor
+# shapes.
+#
+# ADJUDICATED ON CHIP and shipped as the default (probe43, ETTh1 headline
+# shape, scan-slope): train 28.87 -> 22.37 ms/step (+29%), inference
+# 7.27 -> 6.14 ms/step (+18%). This is the restructure-level win probe41's
+# op-golf refutations pointed at: it removes work AND shrinks the small-tile
+# lattice instead of merely trimming FLOPs inside it.
+_POOL_SHARED_KEYS = True
 
 
 def association_softmax(cfg: STanHopConfig, scores: Array, pre_alpha: Optional[Array]):

@@ -69,6 +69,16 @@ class StepProfiler:
     return early — same reason as `fence`). A `logdir` of None makes every
     method a no-op, so drivers can call `tick` unconditionally.
 
+    Because `tick` runs AFTER the step's dispatch, the captured window is
+    steps `start+1 .. start+steps` (the fence before start_trace drains
+    step `start` and everything earlier, so no prior async step bleeds into
+    the capture through the tunnel).
+
+    Usable as a context manager — `with StepProfiler(dir) as prof:` — which
+    guarantees the trace is stopped even if the train loop raises (e.g. the
+    NaN-loss ValueError), so a later start_trace in the same process cannot
+    fail with "profiler already running".
+
     The reference has no profiler hook-up at all (SURVEY.md §5); this is the
     TPU-native equivalent of "run it under nsight": the dumped directory is
     viewable with tensorboard's profile plugin / xprof.
@@ -80,10 +90,20 @@ class StepProfiler:
         self.stop = start + steps
         self._running = False
 
+    def __enter__(self) -> "StepProfiler":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        # No fence on the exception path: the raising step may hold a bad
+        # value; stopping the trace unfenced is safe (partial window).
+        self.close()
+
     def tick(self, step: int, fence_on=None) -> None:
         if self.logdir is None:
             return
         if not self._running and self.start <= step < self.stop:
+            if fence_on is not None:
+                fence(fence_on)  # drain in-flight prior steps out of the window
             jax.profiler.start_trace(self.logdir)
             self._running = True
         elif self._running and step >= self.stop:

@@ -91,3 +91,65 @@ def test_save_requires_run_mode(tmp_path):
     ctx = ScopedQuantCtx(QuantCtx.discover(default_quant_config()), "")
     with pytest.raises(ValueError, match="run-mode"):
         save_quantized_ckpt(str(tmp_path), ctx)
+
+
+def test_format_is_non_executable(tmp_path):
+    """v2 checkpoints are npz + json — no pickle on the load path."""
+    import json
+    import os
+
+    import jax.numpy as jnp
+
+    from outeffhop_tpu.quant import (
+        QuantCtx, ScopedQuantCtx, default_quant_config,
+        qparams_from_range_symmetric,
+    )
+    from outeffhop_tpu.quant.checkpoint import save_quantized_ckpt
+
+    cfg = default_quant_config()
+    wq = {"enc.q|w": qparams_from_range_symmetric(
+        jnp.float32(-1.0), jnp.float32(1.0), n_bits=8)}
+    ctx = ScopedQuantCtx(QuantCtx.run(cfg, wq, {}), "")
+    save_quantized_ckpt(str(tmp_path), ctx)
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["quantized_ckpt.json", "quantized_ckpt.npz"]
+    meta = json.loads((tmp_path / "quantized_ckpt.json").read_text())
+    assert meta["version"] == 2 and "enc.q|w" in meta["weight_qparams"]
+
+
+def test_legacy_pickle_requires_explicit_path(tmp_path):
+    """A directory holding only a v1 pickle is refused (pickle executes code
+    on load); passing the .pkl path explicitly loads it with a warning."""
+    import pickle
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from outeffhop_tpu.quant import default_quant_config, qparams_from_range_symmetric
+    from outeffhop_tpu.quant.checkpoint import load_quantized_ckpt
+
+    import dataclasses
+    cfg = default_quant_config()
+    wq = {"enc.q|w": qparams_from_range_symmetric(
+        jnp.float32(-1.0), jnp.float32(1.0), n_bits=8)}
+    payload = {
+        "version": 1,
+        "config": dataclasses.asdict(cfg),
+        "weight_qparams": jax.device_get(wq),
+        "act_qparams": {},
+        "int8_dense": None,
+    }
+    pkl = tmp_path / "quantized_ckpt.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(payload, f)
+    with _pytest.raises(ValueError, match="legacy v1 pickle"):
+        load_quantized_ckpt(str(tmp_path))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg2, wq2, aq2, int8 = load_quantized_ckpt(str(pkl))
+    assert any("pickle" in str(x.message) for x in w)
+    np.testing.assert_allclose(
+        np.asarray(wq2["enc.q|w"].delta), np.asarray(wq["enc.q|w"].delta)
+    )

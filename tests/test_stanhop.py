@@ -248,10 +248,12 @@ def test_hopfield_fused_self_attention_path_matches_unfused():
 
 
 def test_hopfield_pooling_shared_keys_path_matches_broadcast():
-    """_POOL_SHARED_KEYS projects the (1, factor, dm) prototype bank once and
-    contracts 'blhe,she->bhls' against the shared bank; must match the
-    broadcast-then-project default to fp tolerance, and the full forward
-    must agree too."""
+    """_POOL_SHARED_KEYS (default ON since the probe43 adjudication: +29%
+    train / +18% infer on chip) projects the (1, factor, dm) prototype bank
+    once and contracts 'blhe,she->bhls' against the shared bank; must match
+    the reference broadcast-then-project formulation to fp tolerance — for
+    the forward, the full model forward, AND the gradients (training runs
+    through this path)."""
     import jax
     import jax.numpy as jnp
 
@@ -266,21 +268,51 @@ def test_hopfield_pooling_shared_keys_path_matches_broadcast():
                         factor=5, dropout=0.0, mode="softmax1")
     params = hopfield_params(jax.random.PRNGKey(1), cfg, pooling=True)
     x = jnp.asarray(np.random.RandomState(1).randn(6, 8, 32), jnp.float32)
-    base = hopfield_pooling(params, cfg, x)
+    full_p = init_stanhop_params(jax.random.PRNGKey(2), cfg)
+    seq = jnp.asarray(
+        np.random.RandomState(2).randn(4, cfg.in_len, cfg.data_dim),
+        jnp.float32,
+    )
+    tgt = jnp.asarray(
+        np.random.RandomState(3).randn(4, cfg.out_len, cfg.data_dim),
+        jnp.float32,
+    )
+
+    def pool_loss(p):
+        return jnp.sum(hopfield_pooling(p, cfg, x) ** 2)
+
+    def fwd_loss(p):
+        return sh.mse_loss(stanhop_forward(p, cfg, seq), tgt)
+
+    def run_all():
+        return (
+            hopfield_pooling(params, cfg, x),
+            stanhop_forward(full_p, cfg, seq),
+            jax.grad(pool_loss)(params),
+            jax.grad(fwd_loss)(full_p),
+        )
+
     old = sh._POOL_SHARED_KEYS
     try:
+        sh._POOL_SHARED_KEYS = False
+        base, base_fwd, base_g, base_gf = run_all()
         sh._POOL_SHARED_KEYS = True
-        shared = hopfield_pooling(params, cfg, x)
-        full_p = init_stanhop_params(jax.random.PRNGKey(2), cfg)
-        seq = jnp.asarray(
-            np.random.RandomState(2).randn(4, cfg.in_len, cfg.data_dim),
-            jnp.float32,
-        )
-        shared_fwd = stanhop_forward(full_p, cfg, seq)
+        shared, shared_fwd, shared_g, shared_gf = run_all()
     finally:
         sh._POOL_SHARED_KEYS = old
     np.testing.assert_allclose(np.asarray(base), np.asarray(shared),
                                rtol=1e-5, atol=1e-5)
-    base_fwd = stanhop_forward(full_p, cfg, seq)
     np.testing.assert_allclose(np.asarray(base_fwd), np.asarray(shared_fwd),
                                rtol=1e-4, atol=1e-4)
+    def assert_grads_close(a, b, rtol, what):
+        la = jax.tree_util.tree_leaves_with_path(a)
+        lb = jax.tree_util.tree_leaves_with_path(b)
+        assert len(la) == len(lb)
+        for (pa, ga), (pb, gb) in zip(la, lb):
+            assert pa == pb
+            np.testing.assert_allclose(
+                np.asarray(ga), np.asarray(gb), rtol=rtol, atol=2e-5,
+                err_msg=f"{what} grad mismatch at {jax.tree_util.keystr(pa)}")
+
+    assert_grads_close(base_g, shared_g, 2e-4, "pool")
+    assert_grads_close(base_gf, shared_gf, 5e-3, "full-model")
