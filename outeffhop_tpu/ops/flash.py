@@ -184,6 +184,7 @@ def _flash_kernel(
     block_q: int,
     block_k: int,
     causal_offset: int = 0,
+    l_out_ref=None,  # (1, block_q, 128) f32: L = m + log(denom) for the bwd
 ):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
@@ -237,6 +238,12 @@ def _flash_kernel(
         else:
             denom = l_fin
         o_ref[0] = (acc_scratch[:] / denom).astype(o_ref.dtype)
+        if l_out_ref is not None:
+            # L = m + log(denom): p_ij = exp(s_ij - L_i) reproduces the
+            # NORMALIZED probabilities blockwise in the streaming backward
+            # (softmax_n's phantom term lives entirely inside denom)
+            lse = m_fin + jnp.log(denom)
+            l_out_ref[0] = jnp.broadcast_to(lse, l_out_ref.shape[1:])
 
 
 def _batched_onepass_kernel(
@@ -960,17 +967,30 @@ def flash_attention(
     return _flash_diff(q, k, v, bias, opts)
 
 
-def _flash_impl(q, k, v, bias, opts: _FlashOpts) -> Array:
+def _flash_geometry(t_q: int, t_k: int, opts: _FlashOpts):
+    """The (block_q, block_k, t_q_pad, t_k_pad, path) decision — shared by the
+    forward, the custom_vjp residual selection, and the streaming backward so
+    all three always agree on which kernel family a shape dispatches to."""
+    block_q = min(opts.block_q, _ceil_to(t_q, 8))
+    block_k = min(opts.block_k, _ceil_to(t_k, 8))
+    t_q_pad = _ceil_to(t_q, block_q)
+    t_k_pad = _ceil_to(t_k, block_k)
+    if t_q_pad * t_k_pad * 4 <= 2 * 1024 * 1024:
+        path = "short"
+    elif t_k_pad == block_k:
+        path = "onepass"
+    else:
+        path = "recurrence"
+    return block_q, block_k, t_q_pad, t_k_pad, path
+
+
+def _flash_impl(q, k, v, bias, opts: _FlashOpts, return_stats: bool = False):
     softmax_n, scale, causal = opts.softmax_n, opts.scale, opts.causal
     clip, interpret = opts.clip, opts.interpret
-    block_q, block_k = opts.block_q, opts.block_k
     b, h, t_q, d = q.shape
     t_k = k.shape[2]
 
-    block_q = min(block_q, _ceil_to(t_q, 8))
-    block_k = min(block_k, _ceil_to(t_k, 8))
-    t_q_pad = _ceil_to(t_q, block_q)
-    t_k_pad = _ceil_to(t_k, block_k)
+    block_q, block_k, t_q_pad, t_k_pad, path = _flash_geometry(t_q, t_k, opts)
 
     qr = q.reshape(b * h, t_q, d)
     kr = k.reshape(b * h, t_k, d)
@@ -997,7 +1017,7 @@ def _flash_impl(q, k, v, bias, opts: _FlashOpts) -> Array:
         bias = jnp.maximum(bias.reshape(b, 1, t_k).astype(jnp.float32), NEG_INF)
 
     # short-sequence path: whole (T_q, T_k) score tile fits VMEM → fuse heads
-    if t_q_pad * t_k_pad * 4 <= 2 * 1024 * 1024:
+    if path == "short":
         out = _flash_attention_short(
             qr, kr, vr, bias, b, h,
             scale=scale, softmax_n=softmax_n, causal=causal,
@@ -1005,7 +1025,7 @@ def _flash_impl(q, k, v, bias, opts: _FlashOpts) -> Array:
         )
         return out[:, :t_q].reshape(b, h, t_q, d)
 
-    onepass = t_k_pad == block_k  # whole K in one block: no online recurrence
+    onepass = path == "onepass"  # whole K in one block: no online recurrence
     if clip is not None and not onepass:
         raise ValueError(
             "clipped-softmax fusion requires a one-pass path (whole K row "
@@ -1040,7 +1060,10 @@ def _flash_impl(q, k, v, bias, opts: _FlashOpts) -> Array:
         base = _flash_kernel_onepass if bias is not None else _flash_kernel_onepass_nobias
         scratch = []
     else:
-        base = _flash_kernel if bias is not None else _flash_kernel_nobias
+        if return_stats:
+            base = _flash_kernel_stats if bias is not None else _flash_kernel_stats_nobias
+        else:
+            base = _flash_kernel if bias is not None else _flash_kernel_nobias
         scratch = [
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -1057,12 +1080,28 @@ def _flash_impl(q, k, v, bias, opts: _FlashOpts) -> Array:
         **({"clip": clip} if onepass else {}),
     )
 
+    out_specs = pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0))
+    out_shape = jax.ShapeDtypeStruct((b * h, t_q_pad, d), q.dtype)
+    if return_stats and not onepass:
+        # per-row log-denominator L = m + log(denom) for the streaming
+        # backward; lane-broadcast to a full native (block_q, 128) f32 tile
+        # (a singleton/sub-128 lane layout is exactly the Mosaic fragility
+        # class of the round-3/4 SIGABRTs — see _causal_keep)
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik: (bh, iq, 0)),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((b * h, t_q_pad, 128), jnp.float32),
+        ]
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, t_q_pad, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -1075,6 +1114,11 @@ def _flash_impl(q, k, v, bias, opts: _FlashOpts) -> Array:
         ),
         interpret=interpret,
     )(*args)
+    if return_stats and not onepass:
+        out, lse = out
+        return out[:, :t_q].reshape(b, h, t_q, d), lse
+    if return_stats:  # onepass path selected by a caller probing stats
+        raise AssertionError("return_stats is only valid on the recurrence path")
     return out[:, :t_q].reshape(b, h, t_q, d)
 
 
@@ -1082,19 +1126,398 @@ def _flash_kernel_nobias(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, **kw):
     _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, m_s, l_s, acc_s, **kw)
 
 
+def _flash_kernel_stats(q_ref, k_ref, v_ref, bias_ref, o_ref, l_out_ref,
+                        m_s, l_s, acc_s, **kw):
+    _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_s, l_s, acc_s,
+                  l_out_ref=l_out_ref, **kw)
+
+
+def _flash_kernel_stats_nobias(q_ref, k_ref, v_ref, o_ref, l_out_ref,
+                               m_s, l_s, acc_s, **kw):
+    _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, m_s, l_s, acc_s,
+                  l_out_ref=l_out_ref, **kw)
+
+
 def _flash_kernel_onepass_nobias(q_ref, k_ref, v_ref, o_ref, **kw):
     _flash_kernel_onepass(q_ref, k_ref, v_ref, None, o_ref, **kw)
 
 
 # --------------------------------------------------------------------------
-# Backward pass (custom_vjp): forward = Pallas kernel, backward = jnp
-# reference recompute differentiated by XLA. Exact for softmax_n / clip /
+# Streaming (recurrence-path) Pallas backward.
+#
+# The one-pass/packed paths recompute the whole score row in VMEM
+# (_packed_bwd_kernel); the recurrence regime (T_k > block_k — the ONLY
+# regime where causal dispatch selects Pallas, T >= 2048) cannot, and its
+# old backward was an XLA recompute that materialized the full (B,H,T,T)
+# score tensor in HBM (~3 GB f32 at OPT T8192 per microbatch) — paying back
+# the forward kernel's memory win exactly where it matters. This is the
+# standard flash backward instead: the forward saves the per-row
+# log-denominator L (softmax_n's phantom term included), and two streaming
+# kernels recompute p = exp(s − L) blockwise:
+#
+#   dq kernel, grid (BH, n_q, n_k):  per q-block, stream k-blocks
+#       D  = rowsum(dO ⊙ O)                    (= Σ_j p_j dp_j, phantom-exact:
+#                                               the phantom column carries no V)
+#       dp = dO·Vᵀ ;  ds = p ⊙ (dp − D) · scale ;  dq += ds·K
+#   dk/dv kernel, grid (BH, n_k, n_q): per k-block, stream q-blocks
+#       dv += pᵀ·dO ;  dk += dsᵀ·Q · scale ;  dbias += Σ_rows p ⊙ (dp − D)
+#
+# No (T_q, T_k) tensor ever reaches HBM. Causal block-skip mirrors the
+# forward (whole-tile-masked programs do nothing). dbias partials are
+# written as sublane-padded (1, 8, block_k) slabs per (BH, ik) program and
+# reduced in XLA — same layout lesson as _packed_bwd_impl's dbias fix.
+# --------------------------------------------------------------------------
+
+# A/B flag for the on-chip probe (results/perf_probe45.py pattern): False
+# restores the XLA-recompute VJP on the recurrence path.
+_RECURRENCE_PALLAS_BWD = True
+
+
+def _rec_bwd_dq_kernel(
+    q_ref,     # (1, block_q, D)
+    k_ref,     # (1, block_k, D)
+    v_ref,     # (1, block_k, D)
+    bias_ref,  # (1, 1, block_k) or None
+    do_ref,    # (1, block_q, D)
+    o_ref,     # (1, block_q, D)
+    lse_ref,   # (1, block_q, 128) f32
+    dq_ref,    # (1, block_q, D)
+    dq_acc,    # (block_q, D) f32 scratch
+    *,
+    scale,
+    causal,
+    block_q,
+    block_k,
+    causal_offset,
+):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    run = True
+    if causal:
+        run = iq * block_q + block_q - 1 + causal_offset >= ik * block_k
+
+    @pl.when(run)
+    def _body():
+        s = _scores(
+            q_ref, k_ref, bias_ref, iq, ik,
+            scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+            causal_offset=causal_offset,
+        )
+        lse = lse_ref[0][:, :1]                      # (bq, 1)
+        p = jnp.exp(s - lse)                         # (bq, bk) normalized
+        do = do_ref[0].astype(jnp.float32)
+        o = o_ref[0].astype(jnp.float32)
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (bq, 1)
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (bq, bk)
+        ds = (p * (dp - delta) * scale).astype(k_ref.dtype)
+        dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
+            ds, k_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _rec_bwd_dq_kernel_nobias(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                              dq_ref, dq_acc, **kw):
+    _rec_bwd_dq_kernel(q_ref, k_ref, v_ref, None, do_ref, o_ref, lse_ref,
+                       dq_ref, dq_acc, **kw)
+
+
+def _rec_bwd_dkv_kernel(
+    q_ref,      # (1, block_q, D)
+    k_ref,      # (1, block_k, D)
+    v_ref,      # (1, block_k, D)
+    bias_ref,   # (1, 1, block_k) or None
+    do_ref,     # (1, block_q, D)
+    o_ref,      # (1, block_q, D)
+    lse_ref,    # (1, block_q, 128) f32
+    dk_ref,     # (1, block_k, D)
+    dv_ref,     # (1, block_k, D)
+    dbias_ref,  # (1, 8, block_k) f32 slab or None
+    dk_acc,     # (block_k, D) f32 scratch
+    dv_acc,     # (block_k, D) f32 scratch
+    db_acc,     # (8, block_k) f32 scratch or None
+    *,
+    scale,
+    causal,
+    block_q,
+    block_k,
+    causal_offset,
+):
+    ik = pl.program_id(1)
+    iq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+        if db_acc is not None:
+            db_acc[:] = jnp.zeros_like(db_acc)
+
+    run = True
+    if causal:
+        run = iq * block_q + block_q - 1 + causal_offset >= ik * block_k
+
+    @pl.when(run)
+    def _body():
+        s = _scores(
+            q_ref, k_ref, bias_ref, iq, ik,
+            scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+            causal_offset=causal_offset,
+        )
+        lse = lse_ref[0][:, :1]
+        p = jnp.exp(s - lse)                         # (bq, bk)
+        do = do_ref[0].astype(jnp.float32)
+        o = o_ref[0].astype(jnp.float32)
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)
+        dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+            p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (bk, D)
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)                        # (bq, bk), unscaled
+        dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+            (ds * scale).astype(q_ref.dtype), q_ref[0],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (bk, D)
+        if db_acc is not None:
+            db_row = jnp.sum(ds, axis=0, keepdims=True)      # (1, bk)
+            db_acc[:] = db_acc[:] + jnp.pad(db_row, ((0, 7), (0, 0)))
+
+    @pl.when(iq == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+        if dbias_ref is not None:
+            dbias_ref[0] = db_acc[:]
+
+
+def _rec_bwd_dkv_kernel_nobias(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                               dk_ref, dv_ref, dk_acc, dv_acc, **kw):
+    _rec_bwd_dkv_kernel(q_ref, k_ref, v_ref, None, do_ref, o_ref, lse_ref,
+                        dk_ref, dv_ref, None, dk_acc, dv_acc, None, **kw)
+
+
+def _rec_bwd_dkv_kernel_bias_nodbias(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                                     o_ref, lse_ref, dk_ref, dv_ref,
+                                     dk_acc, dv_acc, **kw):
+    # bias present only as the T-padding mask (no primal bias → no dbias out)
+    _rec_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref,
+                        dk_ref, dv_ref, None, dk_acc, dv_acc, None, **kw)
+
+
+def _recurrence_bwd_impl(q, k, v, bias, out, lse, g, opts: _FlashOpts):
+    """Streaming Pallas backward for the recurrence path. q/k/v/out/g are the
+    original (B, H, T, D) arrays; lse is the (B·H, T_q_pad, 128) f32 stats
+    array the forward emitted. Returns (dq, dk, dv, dbias|None)."""
+    b, h, t_q, d = q.shape
+    t_k = k.shape[2]
+    had_bias = bias is not None
+    bias_shape, bias_dtype = (bias.shape, bias.dtype) if had_bias else (None, None)
+    block_q, block_k, t_q_pad, t_k_pad, path = _flash_geometry(t_q, t_k, opts)
+    assert path == "recurrence", path
+
+    qr = q.reshape(b * h, t_q, d)
+    kr = k.reshape(b * h, t_k, d)
+    vr = v.reshape(b * h, t_k, d)
+    do = g.reshape(b * h, t_q, d)
+    o = out.reshape(b * h, t_q, d)
+    if t_q_pad != t_q:
+        qr = jnp.pad(qr, ((0, 0), (0, t_q_pad - t_q), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, t_q_pad - t_q), (0, 0)))
+        o = jnp.pad(o, ((0, 0), (0, t_q_pad - t_q), (0, 0)))
+    if t_k_pad != t_k:
+        kr = jnp.pad(kr, ((0, 0), (0, t_k_pad - t_k), (0, 0)))
+        vr = jnp.pad(vr, ((0, 0), (0, t_k_pad - t_k), (0, 0)))
+        pad_bias = jnp.full((1, 1, t_k_pad - t_k), NEG_INF, jnp.float32)
+        if bias is None:
+            bias = jnp.concatenate(
+                [jnp.zeros((1, 1, t_k), jnp.float32), pad_bias], axis=-1
+            )
+        else:
+            bias = jnp.concatenate(
+                [
+                    jnp.maximum(bias.reshape(b, 1, t_k).astype(jnp.float32), NEG_INF),
+                    jnp.broadcast_to(pad_bias, (b, 1, t_k_pad - t_k)),
+                ],
+                axis=-1,
+            )
+    elif bias is not None:
+        bias = jnp.maximum(bias.reshape(b, 1, t_k).astype(jnp.float32), NEG_INF)
+
+    n_q = t_q_pad // block_q
+    n_k = t_k_pad // block_k
+    qspec = pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0))
+    kspec_q = pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0))
+    lspec_q = pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik: (bh, iq, 0))
+
+    def bias_spec(order):
+        # order: index args are (bh, iq, ik) for dq, (bh, ik, iq) for dkv
+        nbias = bias.shape[0]
+        if order == "q_outer":
+            if nbias == 1:
+                return pl.BlockSpec((1, 1, block_k), lambda bh, iq, ik: (0, 0, ik))
+            return pl.BlockSpec((1, 1, block_k), lambda bh, iq, ik: (bh // h, 0, ik))
+        if nbias == 1:
+            return pl.BlockSpec((1, 1, block_k), lambda bh, ik, iq: (0, 0, ik))
+        return pl.BlockSpec((1, 1, block_k), lambda bh, ik, iq: (bh // h, 0, ik))
+
+    # ---- dq: grid (BH, n_q, n_k), stream k --------------------------------
+    in_specs = [qspec, kspec_q, kspec_q]
+    args = [qr, kr, vr]
+    shapes = [
+        ((1, block_q, d), qr.shape),
+        ((1, block_k, d), kr.shape),
+        ((1, block_k, d), vr.shape),
+    ]
+    if bias is not None:
+        in_specs.append(bias_spec("q_outer"))
+        shapes.append(((1, 1, block_k), bias.shape))
+        args.append(bias)
+    in_specs += [qspec, qspec, lspec_q]
+    args += [do, o, lse]
+    shapes += [
+        ((1, block_q, d), do.shape),
+        ((1, block_q, d), o.shape),
+        ((1, block_q, 128), lse.shape),
+        # output
+        ((1, block_q, d), (b * h, t_q_pad, d)),
+    ]
+    validate_block_specs(shapes, kernel="flash_recurrence_bwd_dq")
+    dq_kernel = functools.partial(
+        _rec_bwd_dq_kernel if bias is not None else _rec_bwd_dq_kernel_nobias,
+        scale=opts.scale, causal=opts.causal,
+        block_q=block_q, block_k=block_k, causal_offset=t_k - t_q,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b * h, n_q, n_k),
+        in_specs=in_specs,
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b * h, t_q_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * t_q_pad * t_k_pad * d,
+            bytes_accessed=(qr.size + kr.size + vr.size + 2 * do.size)
+            * qr.dtype.itemsize,
+            transcendentals=b * h * t_q_pad * t_k_pad,
+        ),
+        interpret=opts.interpret,
+    )(*args)
+
+    # ---- dk/dv (+dbias partials): grid (BH, n_k, n_q), stream q -----------
+    qspec_kv = pl.BlockSpec((1, block_q, d), lambda bh, ik, iq: (bh, iq, 0))
+    kspec_kv = pl.BlockSpec((1, block_k, d), lambda bh, ik, iq: (bh, ik, 0))
+    lspec_kv = pl.BlockSpec((1, block_q, 128), lambda bh, ik, iq: (bh, iq, 0))
+    in_specs = [qspec_kv, kspec_kv, kspec_kv]
+    args = [qr, kr, vr]
+    shapes = [
+        ((1, block_q, d), qr.shape),
+        ((1, block_k, d), kr.shape),
+        ((1, block_k, d), vr.shape),
+    ]
+    if bias is not None:
+        in_specs.append(bias_spec("k_outer"))
+        shapes.append(((1, 1, block_k), bias.shape))
+        args.append(bias)
+    in_specs += [qspec_kv, qspec_kv, lspec_kv]
+    args += [do, o, lse]
+    shapes += [
+        ((1, block_q, d), do.shape),
+        ((1, block_q, d), o.shape),
+        ((1, block_q, 128), lse.shape),
+    ]
+    out_specs = [kspec_kv, kspec_kv]
+    out_shapes = [
+        jax.ShapeDtypeStruct((b * h, t_k_pad, d), k.dtype),
+        jax.ShapeDtypeStruct((b * h, t_k_pad, d), v.dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((block_k, d), jnp.float32),
+        pltpu.VMEM((block_k, d), jnp.float32),
+    ]
+    shapes += [
+        ((1, block_k, d), (b * h, t_k_pad, d)),
+        ((1, block_k, d), (b * h, t_k_pad, d)),
+    ]
+    if bias is None:
+        base = _rec_bwd_dkv_kernel_nobias
+    elif had_bias:
+        base = _rec_bwd_dkv_kernel
+        out_specs.append(
+            pl.BlockSpec((1, 8, block_k), lambda bh, ik, iq: (bh, 0, ik))
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b * h, 8, t_k_pad), jnp.float32)
+        )
+        scratch.append(pltpu.VMEM((8, block_k), jnp.float32))
+        shapes.append(((1, 8, block_k), (b * h, 8, t_k_pad)))
+    else:  # synthetic padding bias only
+        base = _rec_bwd_dkv_kernel_bias_nodbias
+    validate_block_specs(shapes, kernel="flash_recurrence_bwd_dkv")
+    dkv_kernel = functools.partial(
+        base,
+        scale=opts.scale, causal=opts.causal,
+        block_q=block_q, block_k=block_k, causal_offset=t_k - t_q,
+    )
+    outs = pl.pallas_call(
+        dkv_kernel,
+        grid=(b * h, n_k, n_q),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * t_q_pad * t_k_pad * d,
+            bytes_accessed=(qr.size + kr.size + vr.size + 2 * do.size)
+            * qr.dtype.itemsize,
+            transcendentals=b * h * t_q_pad * t_k_pad,
+        ),
+        interpret=opts.interpret,
+    )(*args)
+
+    dq = dq[:, :t_q].reshape(b, h, t_q, d)
+    dk = outs[0][:, :t_k].reshape(b, h, t_k, d)
+    dv = outs[1][:, :t_k].reshape(b, h, t_k, d)
+    if not had_bias:
+        return dq, dk, dv, None
+    db = outs[2][:, 0, :t_k].reshape(b, h, t_k)   # slab row 0 holds the partial
+    db = jnp.sum(db, axis=1).reshape(b, 1, 1, t_k)
+    if bias_shape[0] == 1:
+        db = jnp.sum(db, axis=0, keepdims=True)
+    return dq, dk, dv, db.reshape(bias_shape).astype(bias_dtype)
+
+
+# --------------------------------------------------------------------------
+# Backward pass (custom_vjp): forward = Pallas kernel; backward = the
+# streaming Pallas kernels above on the recurrence path, and a jnp-reference
+# recompute differentiated by XLA elsewhere. Exact for softmax_n / clip /
 # causal / bias (the softmax_n Jacobian restricted to the real logits is
 # p_i δ_ij − p_i p_j, same form as softmax — the phantom zero-logit is
-# constant and contributes a zero column). The backward materializes the
-# score tensor in HBM like the reference's unfused training step does
-# (`run_mlm.py:554-673`); a recompute-based Pallas backward kernel is a
-# further optimization, this VJP is what makes `use_flash` trainable.
+# constant and contributes a zero column).
 # --------------------------------------------------------------------------
 
 
@@ -1104,11 +1527,18 @@ def _flash_diff(q, k, v, bias, opts: _FlashOpts):
 
 
 def _flash_diff_fwd(q, k, v, bias, opts: _FlashOpts):
-    return _flash_impl(q, k, v, bias, opts), (q, k, v, bias)
+    path = _flash_geometry(q.shape[2], k.shape[2], opts)[-1]
+    if path == "recurrence" and _RECURRENCE_PALLAS_BWD:
+        # save the per-row log-denominator for the streaming Pallas backward
+        out, lse = _flash_impl(q, k, v, bias, opts, return_stats=True)
+        return out, (q, k, v, bias, out, lse)
+    return _flash_impl(q, k, v, bias, opts), (q, k, v, bias, None, None)
 
 
 def _flash_diff_bwd(opts: _FlashOpts, res, g):
-    q, k, v, bias = res
+    q, k, v, bias, out, lse = res
+    if lse is not None:
+        return _recurrence_bwd_impl(q, k, v, bias, out, lse, g, opts)
 
     def ref(q_, k_, v_, bias_):
         return attention_reference(
