@@ -131,9 +131,10 @@ _REUSE_KV = False
 # and the attention contracts against the shared (S, H, E) keys directly
 # ('blhe,she->bhls'), turning the per-example tile lattice into a few large
 # MXU-shaped matmuls. Bit-identical rows (linear ops are row-independent;
-# fwd + grad equivalence tested in tests/test_stanhop.py); disabled under a
-# live quant ctx so calibration observes the reference's per-call tensor
-# shapes.
+# fwd + grad equivalence tested in tests/test_stanhop.py); disabled during
+# discover/calibrate so range estimation observes the reference's per-call
+# tensor shapes (frozen run-mode quant is row-wise elementwise and takes the
+# fast path — equivalence-tested).
 #
 # ADJUDICATED ON CHIP and shipped as the default (probe43, ETTh1 headline
 # shape, scan-slope): train 28.87 -> 22.37 ms/step (+29%), inference
@@ -141,6 +142,17 @@ _REUSE_KV = False
 # op-golf refutations pointed at: it removes work AND shrinks the small-tile
 # lattice instead of merely trimming FLOPs inside it.
 _POOL_SHARED_KEYS = True
+
+# Same batch-redundancy family: decoder layer 0's STHM input is dec_pos
+# broadcast over the batch (stanhop.py:62-66 in the reference — the decoder
+# state starts as the learned positional bank), so under a deterministic
+# forward the whole first STHM call is batch-CONSTANT. Compute it on one row
+# and broadcast: removes a full STHM layer's batch-many small-tile lattice.
+# Disabled when dropout is live (rows diverge) and during quant
+# discover/calibrate (estimator shape parity, like _POOL_SHARED_KEYS).
+# Gradients through the broadcast are exact (cotangent sum over identical
+# rows == the replicated computation's gradient; equivalence-tested).
+_DEC0_SHARED_STHM = True
 
 
 def association_softmax(cfg: STanHopConfig, scores: Array, pre_alpha: Optional[Array]):
@@ -297,9 +309,13 @@ def hopfield_pooling(
     h = cfg.n_heads
     s = params["key"].shape[1]
     qh = common.dense(params["query_projection"], query, q, "query_projection")
-    if _POOL_SHARED_KEYS and not q.enabled:
+    if _POOL_SHARED_KEYS and not q.needs_reference_shapes:
         # project the (1, factor, dm) bank ONCE; association contracts
-        # against the shared bank without materializing broadcast copies
+        # against the shared bank without materializing broadcast copies.
+        # Allowed under a frozen RUN-mode quant ctx too (fake-quant / int8
+        # dense are row-wise identical on the shared bank vs its broadcast
+        # copies — equivalence-tested); only discover/calibrate need the
+        # reference's per-call broadcast shapes for estimator-state parity.
         kh = common.dense(params["key_projection"], params["key"], q,
                           "key_projection")
         vh = common.dense(params["value_projection"], kh, q,
@@ -511,13 +527,24 @@ def stanhop_decoder_layer(
     tape: ScopedTape = NULL_TAPE,
     dropout_rng=None,
     deterministic: bool = True,
+    sthm_batch_shared: bool = False,
 ):
     b, ts_d, out_seg, dm = x.shape
     rngs = jax.random.split(dropout_rng, 3) if dropout_rng is not None else [None] * 3
-    x = sthm_layer(
-        params["sthm"], cfg, x, q=q.scoped("sthm"), tape=tape.scoped("sthm"),
-        dropout_rng=rngs[0], deterministic=deterministic,
-    )
+    if sthm_batch_shared:
+        # caller guarantees x's rows are identical (dec_pos broadcast) and the
+        # forward is deterministic: one row through the STHM, broadcast back
+        x1 = sthm_layer(
+            params["sthm"], cfg, x[:1], q=q.scoped("sthm"),
+            tape=tape.scoped("sthm"),
+            dropout_rng=rngs[0], deterministic=deterministic,
+        )
+        x = jnp.broadcast_to(x1, (b,) + x1.shape[1:])
+    else:
+        x = sthm_layer(
+            params["sthm"], cfg, x, q=q.scoped("sthm"), tape=tape.scoped("sthm"),
+            dropout_rng=rngs[0], deterministic=deterministic,
+        )
     xf = x.reshape(b * ts_d, out_seg, dm)
     crossf = cross.reshape(b * ts_d, cross.shape[2], dm)
     tmp = hopfield(
@@ -580,11 +607,18 @@ def stanhop_forward(
     )
     final_pred = None
     xdec = dec_in
+    dec0_shared = (
+        _DEC0_SHARED_STHM
+        and deterministic
+        and b > 1
+        and not q.needs_reference_shapes
+    )
     for i, dp in enumerate(params["decoder"]):
         xdec, layer_pred = stanhop_decoder_layer(
             dp, cfg, xdec, enc_outs[i],
             q=q.scoped(f"dec{i}"), tape=tape.scoped(f"dec{i}"),
             dropout_rng=drngs[i], deterministic=deterministic,
+            sthm_batch_shared=dec0_shared and i == 0,
         )
         final_pred = layer_pred if final_pred is None else final_pred + layer_pred
     # 'b (out_d seg_num) seg_len -> b (seg_num seg_len) out_d'

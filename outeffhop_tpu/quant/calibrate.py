@@ -429,6 +429,18 @@ class ScopedQuantCtx:
         return self._ctx is not None
 
     @property
+    def needs_reference_shapes(self) -> bool:
+        """True while range estimation observes tensors (discover/calibrate):
+        paths that restructure batching (e.g. the shared-prototype-bank
+        HopfieldPooling contraction) must present the reference's per-call
+        tensor shapes so estimator state (EMA observation counts, percentile
+        samples) matches the reference's. A frozen run-mode ctx applies
+        row-wise elementwise ops only (fake-quant grids / int8 dense), so
+        restructured fast paths are numerically identical there and allowed."""
+        ctx = self._ctx
+        return ctx is not None and ctx.mode in ("discover", "calibrate")
+
+    @property
     def act_sites_enabled(self) -> bool:
         """True when activation quant sites actually do something — False for
         a run-mode ctx carrying only int8 weights (act_qparams empty, acts

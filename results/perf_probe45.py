@@ -88,12 +88,23 @@ def train_cell(cell, on_tpu):
     from outeffhop_tpu.models.opt import OPTConfig, clm_loss, init_opt_params, opt_forward
     from outeffhop_tpu.parallel.train import _make_train_step, init_train_state, make_adamw
 
+    # optional "_tNNNN" suffix selects the sequence length (B1 beyond 2048 —
+    # the memory-capacity regime where XLA autodiff's saved per-layer score/
+    # prob residuals (12 x B·H·T² bf16) exceed HBM and the streaming Pallas
+    # backward is the only trainable path)
+    t_override = None
+    if "_t" in cell:
+        cell, t_str = cell.rsplit("_t", 1)
+        t_override = int(t_str)
     use_flash = cell != "train_xla"
     fl._RECURRENCE_PALLAS_BWD = cell == "train_flash_palbwd"
     if on_tpu:
+        s = t_override or 2048
+        b = 2 if s <= 2048 else 1
         cfg = OPTConfig(attn_softmax="softmax1", dropout=0.0,
-                        max_position_embeddings=2048)
-        b, s = 2, 2048
+                        max_position_embeddings=max(s, 2048))
+    elif False:
+        pass
     else:
         cfg = OPTConfig(attn_softmax="softmax1", dropout=0.0, vocab_size=128,
                         hidden_size=32, num_hidden_layers=2,

