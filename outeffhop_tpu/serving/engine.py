@@ -384,13 +384,24 @@ class ServingEngine:
 
     def __init__(self, params, cfg: OPTConfig, ecfg: EngineConfig, dtype=jnp.float32,
                  int8_weights: bool = False, mesh=None):
-        """`mesh`: optional `jax.sharding.Mesh` with a `model` axis — serve
-        tensor-parallel. Params shard Megatron-style (parallel/mesh.py rules),
-        the KV slot pool shards head-parallel (heads are column-parallel with
-        q/k/v, so each device attends over its own heads and the out-proj
-        all-reduce is the block's single collective). The prefill/decode
-        programs are UNCHANGED — XLA propagates the operand shardings and
-        inserts the collectives (same approach as parallel/train.py)."""
+        """`mesh`: optional `jax.sharding.Mesh` — serve sharded.
+
+        * `model` axis (> 1): tensor-parallel. Params shard Megatron-style
+          (parallel/mesh.py rules), the KV slot pool shards head-parallel
+          (heads are column-parallel with q/k/v, so each device attends over
+          its own heads and the out-proj all-reduce is the block's single
+          collective).
+        * `data` axis (> 1, dividing max_slots): data-parallel continuous
+          batching — the SLOT dimension of the pool (caches, tokens,
+          lengths, active flags, int8 scale pools) shards over `data`; each
+          device group decodes its own slots with replicated weights and no
+          per-token collectives (decode is slot-parallel). This is the
+          "continuous batching across hosts" north star: one engine, one
+          scheduler, a pod-wide slot pool.
+
+        The prefill/decode programs are UNCHANGED either way — XLA propagates
+        the operand shardings and inserts the collectives (same approach as
+        parallel/train.py). dp x tp composes (e.g. 4x2 over 8 devices)."""
         self.cfg = cfg
         self.ecfg = ecfg
         self.mesh = mesh
@@ -401,12 +412,19 @@ class ServingEngine:
             from outeffhop_tpu.parallel.mesh import shard_params
 
             params = shard_params(params, mesh)
-            n_model = mesh.shape["model"]
+            shape = dict(mesh.shape)
+            n_model = shape.get("model", 1)
+            n_data = shape.get("data", 1)
             head_axis = (
-                "model" if cfg.num_attention_heads % n_model == 0 else None
+                "model"
+                if n_model > 1 and cfg.num_attention_heads % n_model == 0
+                else None
             )
-            cache_spec = P(None, None, head_axis, None, None)
-            scale_spec = P(None, None, head_axis, None)
+            slot_axis = (
+                "data" if n_data > 1 and ecfg.max_slots % n_data == 0 else None
+            )
+            cache_spec = P(None, slot_axis, head_axis, None, None)
+            scale_spec = P(None, slot_axis, head_axis, None)
 
             def place(x, spec):
                 return (
@@ -418,9 +436,9 @@ class ServingEngine:
             state = EngineState(
                 cache_k=place(state.cache_k, cache_spec),
                 cache_v=place(state.cache_v, cache_spec),
-                tokens=place(state.tokens, P()),
-                lengths=place(state.lengths, P()),
-                active=place(state.active, P()),
+                tokens=place(state.tokens, P(slot_axis)),
+                lengths=place(state.lengths, P(slot_axis)),
+                active=place(state.active, P(slot_axis)),
                 scale_k=place(state.scale_k, scale_spec),
                 scale_v=place(state.scale_v, scale_spec),
             )

@@ -366,3 +366,53 @@ def test_engine_tensor_parallel_kv_int8(opt):
     tp = run(make_mesh(n_model=2), True)
     for a, b in zip(base, tp):
         np.testing.assert_array_equal(a, b)
+
+
+def test_engine_data_parallel_matches_single_device(opt):
+    """dp serving (continuous batching across hosts): a ('data','model') mesh
+    with data=4 shards the SLOT pool over the data axis; greedy outputs must
+    be IDENTICAL to the unsharded engine (decode is slot-parallel — no
+    cross-slot reductions exist to reorder)."""
+    from outeffhop_tpu.parallel.mesh import make_mesh
+
+    cfg, params = opt
+    prompts = [np.random.RandomState(60 + i).randint(3, 120, 4 + i) for i in range(6)]
+
+    def run(mesh):
+        ecfg = EngineConfig(max_slots=4, max_seq=40, max_prompt=16,
+                            eos_token_id=999)
+        eng = ServingEngine(params, cfg, ecfg, mesh=mesh)
+        rids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+        res = eng.run(decode_chunk=2)
+        return [res[r] for r in rids]
+
+    base = run(None)
+    dp = run(make_mesh(n_data=4, n_model=2))   # dp x tp composed
+    for a, b in zip(base, dp):
+        np.testing.assert_array_equal(a, b)
+    dp_only = run(make_mesh(n_data=8, n_model=1))
+    # 8 slots needed for data=8 to divide; max_slots=4 → slot axis skipped,
+    # still must be correct (falls back to replicated pool)
+    for a, b in zip(base, dp_only):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_engine_data_parallel_kv_int8(opt):
+    """dp x int8-KV: slot-sharded int8 caches + scale pools compose."""
+    from outeffhop_tpu.parallel.mesh import make_mesh
+
+    cfg, params = opt
+    prompts = [np.random.RandomState(70 + i).randint(3, 120, 5) for i in range(4)]
+
+    def run(mesh):
+        ecfg = EngineConfig(max_slots=4, max_seq=40, max_prompt=16,
+                            eos_token_id=999, kv_int8=True)
+        eng = ServingEngine(params, cfg, ecfg, mesh=mesh)
+        rids = [eng.submit(p, max_new_tokens=4) for p in prompts]
+        res = eng.run(decode_chunk=2)
+        return [res[r] for r in rids]
+
+    base = run(None)
+    dp = run(make_mesh(n_data=4, n_model=2))
+    for a, b in zip(base, dp):
+        np.testing.assert_array_equal(a, b)
