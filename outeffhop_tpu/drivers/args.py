@@ -211,7 +211,13 @@ def add_tpu_args(p: argparse.ArgumentParser):
     g.add_argument("--pipeline_data", type=int, default=0,
                    help="data-parallel replicas inside the pipeline mesh "
                         "(0 = device_count // pipeline_stages)")
-    g.add_argument("--use_flash", action="store_true", default=None)
+    g.add_argument("--use_flash", action="store_true", default=None,
+                   help="fused Pallas attention in the TRAIN step. Measured "
+                        "regimes (BASELINE.md): wins e2e on packed one-pass "
+                        "shapes (ViT-base +10%); on long causal sequences "
+                        "(T>=2048) it trades ~9%% step time for O(T) instead "
+                        "of O(T^2) attention memory (probe45) — use it there "
+                        "when the all-XLA step does not fit HBM")
     g.add_argument("--no_flash", dest="use_flash", action="store_false")
     g.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])

@@ -35,7 +35,7 @@ def to_bf16(p):
     )
 
 
-def gradcheck(on_tpu):
+def gradcheck(on_tpu, with_bias=False):
     import outeffhop_tpu.ops.flash as fl
 
     if on_tpu:
@@ -52,35 +52,44 @@ def gradcheck(on_tpu):
     q = jnp.asarray(rs.randn(b, h, t, d), dtype) * 0.3
     k = jnp.asarray(rs.randn(b, h, t, d), dtype) * 0.3
     v = jnp.asarray(rs.randn(b, h, t, d), dtype) * 0.3
+    bias = None
+    argnames = "qkv"
+    if with_bias:
+        # padding-mask layout (B,1,1,T): exercises the dbias slab outputs
+        bias = jnp.asarray(
+            np.where(rs.rand(b, 1, 1, t) > 0.05, 0.0, -1e9), jnp.float32)
+        argnames = "qkvb"
     opts = dict(softmax_n=1.0, causal=True, block_q=block_q, block_k=block_k,
                 interpret=not on_tpu)
     geo = fl._flash_geometry(t, t, fl._FlashOpts(
         softmax_n=1.0, scale=1.0, causal=True, block_q=block_q, block_k=block_k))
     assert geo[-1] == "recurrence", geo
+    argnums = tuple(range(4 if with_bias else 3))
 
     @jax.jit
-    def grads_pallas(q, k, v):
-        def loss(q, k, v):
-            return jnp.sum(fl.flash_attention(q, k, v, **opts).astype(jnp.float32) ** 2)
-        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    def grads_pallas(q, k, v, bias):
+        def loss(q, k, v, bias):
+            return jnp.sum(
+                fl.flash_attention(q, k, v, bias, **opts).astype(jnp.float32) ** 2)
+        return jax.grad(loss, argnums=argnums)(q, k, v, bias)
 
     @jax.jit
-    def grads_ref(q, k, v):
-        def loss(q, k, v):
+    def grads_ref(q, k, v, bias):
+        def loss(q, k, v, bias):
             return jnp.sum(fl.attention_reference(
-                q, k, v, softmax_n=1.0, causal=True).astype(jnp.float32) ** 2)
-        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+                q, k, v, bias, softmax_n=1.0, causal=True).astype(jnp.float32) ** 2)
+        return jax.grad(loss, argnums=argnums)(q, k, v, bias)
 
-    gp = grads_pallas(q, k, v)
-    gr = grads_ref(q, k, v)
-    for a, b_, nm in zip(gp, gr, "qkv"):
+    gp = grads_pallas(q, k, v, bias)
+    gr = grads_ref(q, k, v, bias)
+    for a, b_, nm in zip(gp, gr, argnames):
         a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
         denom = max(np.abs(b32).max(), 1e-6)
         err = np.abs(a32 - b32).max() / denom
         print(f"  d{nm}: rel max err {err:.4g}", flush=True)
         assert err < tol, (nm, err)
-    print("gradcheck PASS (streaming Pallas bwd == XLA recompute bwd)",
-          flush=True)
+    print("gradcheck PASS (streaming Pallas bwd == XLA recompute bwd, "
+          f"bias={with_bias})", flush=True)
 
 
 def train_cell(cell, on_tpu):
@@ -165,6 +174,8 @@ def main():
           "| cell:", cell, flush=True)
     if cell == "gradcheck":
         gradcheck(on_tpu)
+    elif cell == "gradcheck_bias":
+        gradcheck(on_tpu, with_bias=True)
     else:
         train_cell(cell, on_tpu)
 
