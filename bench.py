@@ -111,21 +111,24 @@ def _bench_model(cfg_kwargs, batch, seq, use_flash, lo, hi):
 
 def kernel_guard_line(on_tpu):
     """BERT-base clippedsoftmax1 B16xT512: the packed-Pallas fused-epilogue
-    shape. TPU: vs_baseline pinned to the round-4 measurement. CPU smoke:
-    tiny shape, XLA both cells, vs_baseline 1.0 (shape/pin are chip-only)."""
+    shape. Two regression signals: `vs_baseline` pins against the round-4
+    on-chip measurement (catches absolute drift; observed run-to-run band
+    0.93-1.01 across processes — probe20 rerun adjudication, BASELINE.md),
+    and `vs_xla` is the SAME-RUN flash/XLA ratio (immune to chip drift:
+    healthy ~1.4-1.5; a kernel silently falling back to XLA reads ~1.0).
+    CPU smoke: tiny shape, XLA both cells."""
     if on_tpu:
         batch, seq, layers, lo, hi = 16, 512, 12, 4, 16
     else:
         batch, seq, layers, lo, hi = 2, 128, 2, 1, 3
-    toks, _ = _bench_model(
-        dict(
-            num_hidden_layers=layers,
-            attn_softmax="clippedsoftmax1(-.025:1)",
-            hidden_dropout_prob=0.0,
-            attention_probs_dropout_prob=0.0,
-        ),
-        batch, seq, use_flash=on_tpu, lo=lo, hi=hi,
+    cfg_kwargs = dict(
+        num_hidden_layers=layers,
+        attn_softmax="clippedsoftmax1(-.025:1)",
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
     )
+    toks, _ = _bench_model(cfg_kwargs, batch, seq, use_flash=on_tpu, lo=lo, hi=hi)
+    toks_xla, _ = _bench_model(cfg_kwargs, batch, seq, use_flash=False, lo=lo, hi=hi)
     vs = toks / _KERNEL_GUARD_PINNED_TOKS if on_tpu else 1.0
     print(
         json.dumps(
@@ -134,6 +137,7 @@ def kernel_guard_line(on_tpu):
                 "value": round(toks, 1),
                 "unit": "tokens/s",
                 "vs_baseline": round(vs, 4),
+                "vs_xla": round(toks / toks_xla, 4),
             }
         )
     )

@@ -32,6 +32,7 @@ def test_bench_prints_json_lines(capsys):
     guard = json.loads(lines[0])
     assert guard["metric"] == "bert_base_clippedsoftmax1_T512_flash_guard"
     assert guard["value"] > 0 and guard["vs_baseline"] > 0
+    assert guard["vs_xla"] > 0  # same-run flash/XLA ratio (drift-immune)
     # the LAST line is what the round driver records — headline metric
     rec = json.loads(lines[-1])
     assert rec["metric"] == "bert_base_softmax1_mlm_inference_bf16"
