@@ -212,12 +212,16 @@ def add_tpu_args(p: argparse.ArgumentParser):
                    help="data-parallel replicas inside the pipeline mesh "
                         "(0 = device_count // pipeline_stages)")
     g.add_argument("--use_flash", action="store_true", default=None,
-                   help="fused Pallas attention in the TRAIN step. Measured "
-                        "regimes (BASELINE.md): wins e2e on packed one-pass "
-                        "shapes (ViT-base +10%); on long causal sequences "
-                        "(T>=2048) it trades ~9%% step time for O(T) instead "
-                        "of O(T^2) attention memory (probe45) — use it there "
-                        "when the all-XLA step does not fit HBM")
+                   help="fused Pallas attention in the TRAIN step. Default "
+                        "(neither flag): AUTO — the measured-regime policy "
+                        "(drivers/common.py:resolve_train_use_flash): on for "
+                        "bidirectional models on TPU (packed backward won "
+                        "+10% on ViT-base; per-shape dispatch still gates), "
+                        "on for causal models only past the ~3.5 GB "
+                        "attention-residual threshold where the streaming "
+                        "backward wins (probe45b: 2.28x at T4096, only "
+                        "trainable path at T8192); off below it (probe45: "
+                        "XLA's saved-probs backward wins ~9% at T2048)")
     g.add_argument("--no_flash", dest="use_flash", action="store_false")
     g.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])

@@ -174,6 +174,40 @@ def write_results(output_dir: Optional[str], results: dict, verbose: bool = True
             json.dump(results, f, indent=2, default=float)
 
 
+def resolve_train_use_flash(
+    arg: Optional[bool],
+    *,
+    causal: bool,
+    n_layers: int,
+    batch: int,
+    seq: int,
+    n_heads: int,
+) -> bool:
+    """Measured-regime TRAIN-step flash policy (BASELINE.md probe45/45b/21).
+
+    Explicit --use_flash/--no_flash always wins. Otherwise (auto):
+      * non-TPU backends: off (Pallas kernels are TPU programs).
+      * bidirectional models (BERT/ViT): ON — the packed one-pass backward
+        measured +10% e2e on the ViT-base train step (probe21), and the
+        per-shape dispatch gate inside the models still routes to XLA
+        wherever XLA wins, so enabling is safe at gated shapes.
+      * causal models (OPT): on ONLY past the memory threshold where the
+        streaming recurrence backward wins. probe45: at T2048·B2 XLA's
+        saved-probs backward beats any recompute by ~9% (residuals
+        ~2.4 GB fit easily); probe45b: at T4096·B1 (~4.8 GB) flash is
+        2.28x, and at T8192 XLA cannot compile at all. The 3.5 GB
+        threshold on L·B·H·T² bf16 separates the measured regimes.
+    """
+    if arg is not None:
+        return bool(arg)
+    if jax.default_backend() != "tpu":
+        return False
+    if not causal:
+        return True
+    residual_bytes = n_layers * batch * n_heads * seq * seq * 2
+    return residual_bytes > 3.5 * 1024**3
+
+
 def dropout_key(seed: int, impl: str = "auto", rng_bits: int = 32):
     """Training dropout PRNG key. `rbg` maps to the TPU's hardware RNG
     (lax.rng_bit_generator); threefry's software counter sequence measured

@@ -136,17 +136,24 @@ def main(argv=None):
         flat=args.optimizer_impl == "flat",
     )
     state = init_train_state(trainable, tx)
+    from outeffhop_tpu.drivers.common import resolve_train_use_flash
+
+    use_flash = resolve_train_use_flash(
+        args.use_flash, causal=False, n_layers=cfg.num_hidden_layers,
+        batch=args.per_device_train_batch_size, seq=args.block_size_mlm,
+        n_heads=cfg.num_attention_heads,
+    )
     if pipeline:
         from outeffhop_tpu.parallel import make_pipeline_mlm_train_step
 
         step_fn = make_pipeline_mlm_train_step(
             cfg, tx, pmesh, n_micro=args.pipeline_microbatches,
-            use_flash=bool(args.use_flash),
+            use_flash=use_flash,
             remat=args.remat_policy if args.remat else False,
         )
     else:
         step_fn = make_mlm_train_step(
-            cfg, tx, mesh=mesh, use_flash=bool(args.use_flash),
+            cfg, tx, mesh=mesh, use_flash=use_flash,
             qat_config=qat_config, grad_scaling=not args.no_range_grad_scaling,
             remat=args.remat_policy if args.remat else False,
         )

@@ -248,7 +248,14 @@ def main(argv=None):
     opt_state = tx.init(params)
     # a distinct copy: params and ema are both donated to the train step
     ema_params = jax.tree.map(jnp.copy, params) if args.model_ema else None
-    use_flash = bool(args.use_flash) and jax.default_backend() == "tpu"
+    from outeffhop_tpu.drivers.common import resolve_train_use_flash
+
+    use_flash = resolve_train_use_flash(
+        args.use_flash, causal=False, n_layers=cfg.depth,
+        batch=args.per_device_train_batch_size,
+        seq=(cfg.img_size // cfg.patch_size) ** 2 + 1,
+        n_heads=cfg.num_heads,
+    )
 
     def loss_fn(p, images, labels_a, labels_b, lam, rng):
         if pipeline:

@@ -361,3 +361,21 @@ def test_console_scripts_resolve():
         mod = importlib.import_module(mod_name)
         fn = getattr(mod, attr)
         assert callable(fn), f"{name} -> {target} is not callable"
+
+
+def test_resolve_train_use_flash_policy():
+    """Auto train-flash policy (BASELINE probe45/45b/21 regimes): explicit
+    flags win; CPU is always off; bidirectional auto-on (gated per-shape in
+    the models); causal crosses at the measured memory threshold."""
+    from outeffhop_tpu.drivers.common import resolve_train_use_flash
+
+    kw = dict(n_layers=12, batch=2, seq=2048, n_heads=12)
+    # explicit always wins, any backend
+    assert resolve_train_use_flash(True, causal=True, **kw) is True
+    assert resolve_train_use_flash(False, causal=False, **kw) is False
+    # auto on CPU: off (this test process is pinned to the CPU platform)
+    assert resolve_train_use_flash(None, causal=False, **kw) is False
+    assert resolve_train_use_flash(None, causal=True, **kw) is False
+    # the causal threshold math (backend-independent part):
+    resid = lambda b, t: 12 * b * 12 * t * t * 2
+    assert resid(2, 2048) < 3.5 * 1024**3 < resid(1, 4096)
