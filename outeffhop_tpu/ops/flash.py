@@ -25,11 +25,17 @@ one-pass kernels (short/packed/whole-K-block) normalize the full row in VMEM
 before the PV matmul, where the clip is a free two-op epilogue. Only the
 long-sequence recurrence path rejects `clip`; entmax stays on the XLA path.
 
-Both public entry points carry a `jax.custom_vjp`: the forward runs the Pallas
-kernel, the backward recomputes attention via the jnp reference (XLA) and
-differentiates it — exact for softmax_n/clip/causal/bias (the reference's
-training loop is its main activity, `run_mlm.py:554-673`; a kernelized
-backward is a further optimization, the VJP makes `use_flash` trainable).
+Both public entry points carry a `jax.custom_vjp` (the reference's training
+loop is its main activity, `run_mlm.py:554-673`). Backward story, by path:
+the packed one-pass path has a whole-row Pallas recompute backward
+(`_packed_bwd_kernel`, +10% e2e on the ViT-base train step); the long-seq
+RECURRENCE path has a streaming flash backward (`_recurrence_bwd_impl`) —
+the forward saves per-row log-denominators and two kernels recompute
+p = exp(s − L) blockwise, so attention memory stays O(T) in training:
+measured 2.28x over all-XLA at OPT T4096 and the only trainable path at
+T8192, where XLA autodiff's saved score residuals exceed HBM (BASELINE.md
+probe45/45b); remaining paths fall back to an XLA recompute of the jnp
+reference — exact for softmax_n/clip/causal/bias in all cases.
 
 K/V stream through VMEM in `block_k` chunks via the grid's innermost
 dimension, so sequence length is bounded by HBM, not VMEM; Pallas double-

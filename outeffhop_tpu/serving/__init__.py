@@ -7,6 +7,7 @@ from outeffhop_tpu.serving.engine import (
     init_state,
     make_decode_step,
     make_prefill,
+    resolve_kv_int8,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "init_state",
     "make_decode_step",
     "make_prefill",
+    "resolve_kv_int8",
 ]

@@ -65,7 +65,10 @@ class EngineConfig:
     #     cache): 2.7x SLOWER (probe22) — nothing for the halved cache
     #     traffic to pay for. Default off; enable for long-context /
     #     many-slot serving (also halves cache HBM footprint).
-    kv_int8: bool = False
+    # "auto" picks per the measured regimes: on when the full KV pool is
+    # >= 4x the estimated weight bytes (safely inside probe22b's 19x
+    # cache-bound win; probe22's 0.2x weight-bound loss stays off).
+    kv_int8: bool | str = False
     # There is deliberately NO fused-Pallas-decode option: two kernel
     # generations (round-4 whole-slot blocks, round-5 blocked flash-decode)
     # both measured slower than XLA's decode attention, which probe29 showed
@@ -95,7 +98,33 @@ jax.tree_util.register_dataclass(
 )
 
 
+def resolve_kv_int8(setting, cfg: OPTConfig, ecfg: EngineConfig, dtype) -> bool:
+    """'auto' → the measured-regime policy (probe22/22b, BASELINE.md): int8
+    KV wins only when decode is cache-bound. Enable when the full KV slot
+    pool is >= 4x the (analytically estimated) dense-weight bytes — probe22b's
+    2.0x win sat at 19x, probe22's loss at 0.2x; 4x is safely inside the
+    winning regime."""
+    if setting != "auto":
+        return bool(setting)
+    L, S = cfg.num_hidden_layers, ecfg.max_slots
+    H, D = cfg.num_attention_heads, cfg.head_dim
+    itemsize = jnp.dtype(dtype).itemsize
+    cache_bytes = 2 * L * S * H * ecfg.max_seq * D * itemsize
+    dm, ffn = cfg.hidden_size, cfg.ffn_dim
+    weight_bytes = (
+        cfg.vocab_size * dm
+        + cfg.max_position_embeddings * dm
+        + L * (4 * dm * dm + 2 * dm * ffn)
+    ) * itemsize
+    return cache_bytes >= 4 * weight_bytes
+
+
 def init_state(cfg: OPTConfig, ecfg: EngineConfig, dtype=jnp.float32) -> EngineState:
+    if not isinstance(ecfg.kv_int8, bool):
+        raise ValueError(
+            "init_state needs a resolved EngineConfig; 'auto' is resolved by "
+            "ServingEngine (resolve_kv_int8)"
+        )
     L, S = cfg.num_hidden_layers, ecfg.max_slots
     H, D = cfg.num_attention_heads, cfg.head_dim
     kv_dtype = jnp.int8 if ecfg.kv_int8 else dtype
@@ -402,6 +431,10 @@ class ServingEngine:
         The prefill/decode programs are UNCHANGED either way — XLA propagates
         the operand shardings and inserts the collectives (same approach as
         parallel/train.py). dp x tp composes (e.g. 4x2 over 8 devices)."""
+        if not isinstance(ecfg.kv_int8, bool):
+            ecfg = dataclasses.replace(
+                ecfg, kv_int8=resolve_kv_int8(ecfg.kv_int8, cfg, ecfg, dtype)
+            )
         self.cfg = cfg
         self.ecfg = ecfg
         self.mesh = mesh

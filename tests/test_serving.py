@@ -416,3 +416,28 @@ def test_engine_data_parallel_kv_int8(opt):
     dp = run(make_mesh(n_data=4, n_model=2))
     for a, b in zip(base, dp):
         np.testing.assert_array_equal(a, b)
+
+
+def test_kv_int8_auto_policy(opt):
+    """kv_int8='auto' resolves per the measured probe22/22b regimes: off at
+    the weight-bound shape (8 slots x 512), on when the pool dwarfs the
+    weights; the engine runs correctly either way."""
+    from outeffhop_tpu.serving.engine import EngineConfig, ServingEngine, resolve_kv_int8
+    from outeffhop_tpu.models.opt import OPTConfig
+
+    real = OPTConfig()  # OPT-125m shapes
+    weight_bound = EngineConfig(max_slots=8, max_seq=512, kv_int8="auto")
+    cache_bound = EngineConfig(max_slots=32, max_seq=65536, kv_int8="auto")
+    assert resolve_kv_int8("auto", real, weight_bound, jnp.bfloat16) is False
+    assert resolve_kv_int8("auto", real, cache_bound, jnp.bfloat16) is True
+    assert resolve_kv_int8(True, real, weight_bound, jnp.bfloat16) is True
+
+    cfg, params = opt
+    ecfg = EngineConfig(max_slots=2, max_seq=40, max_prompt=16,
+                        eos_token_id=999, kv_int8="auto")
+    eng = ServingEngine(params, cfg, ecfg)
+    assert isinstance(eng.ecfg.kv_int8, bool)
+    rid = eng.submit(np.random.RandomState(80).randint(3, 120, 5),
+                     max_new_tokens=4)
+    res = eng.run()
+    assert len(res[rid]) > 0
