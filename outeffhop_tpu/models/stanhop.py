@@ -143,6 +143,25 @@ _REUSE_KV = False
 # lattice instead of merely trimming FLOPs inside it.
 _POOL_SHARED_KEYS = True
 
+# probe47 decomposition put the encoder's attention cores at the forward's
+# floor: the per-head association einsums are (seg x d_head x seg) tiles
+# (28x64x28 at scale 0) — K = 64 fills half the 128-deep MXU and the
+# 28-lane outputs use ~22% of the lane width (~11% effective utilization).
+# This flag reformulates BOTH association einsums as block-diagonal
+# full-depth matmuls: keys are scattered into a (B, H·E, H·S) tensor whose
+# (h, g) off-diagonal blocks are ZERO, so one (L, H·E)x(H·E, H·S) matmul
+# computes every head's scores (off-diag contributions vanish), and the PV
+# product likewise contracts (L, H·S)x(H·S, H·D). 4x the FLOPs at ~8x the
+# tile utilization, at the cost of two zero-padded materializations.
+# A/B'd on chip as probe48 and REFUTED (BASELINE.md): infer 5.79 -> 6.07 ms
+# (-4.8%), deterministic train 19.21 -> 22.06 ms (-14.8%). XLA's batched
+# small matmuls pack multiple batch elements per MXU pass — better than the
+# naive per-tile utilization arithmetic — and the zero-padded key/value
+# materializations are pure extra HBM traffic in the backward. Kept (with
+# its equivalence test) as the second independent demonstration, after
+# probe41, that this lattice rejects FLOP-for-layout trades.
+_BLOCKDIAG_ASSOC = False
+
 # Same batch-redundancy family: decoder layer 0's STHM input is dec_pos
 # broadcast over the batch (stanhop.py:62-66 in the reference — the decoder
 # state starts as the learned positional bank), so under a deterministic
@@ -190,11 +209,26 @@ def association(
     """hopfield.py:42-51 — scale applied to scores BEFORE softmax."""
     scale = 1.0 / math.sqrt(queries.shape[-1])
     shared_kv = keys.shape[0] == 1 and queries.shape[0] != 1
+    blockdiag = _BLOCKDIAG_ASSOC and not shared_kv
     if shared_kv:
         # keys/values are batch-shared (HopfieldPooling prototype bank under
         # _POOL_SHARED_KEYS): contract against the (S, H, E) bank directly —
         # one large (B·L, E)x(E, S) matmul per head instead of B tiny tiles
         scores = jnp.einsum("blhe,she->bhls", queries, keys[0]) * scale
+    elif blockdiag:
+        # block-diagonal full-depth formulation (see _BLOCKDIAG_ASSOC): the
+        # eye outer-product zero-pads keys so ONE (L, H·E)x(H·E, H·S) matmul
+        # per example computes all heads' scores with K = H·E
+        b, l, h, e = queries.shape
+        s = keys.shape[1]
+        eye = jnp.eye(h, dtype=keys.dtype)
+        kp = jnp.einsum("bshe,hg->bhegs", keys, eye).reshape(b, h * e, h * s)
+        scores = jax.lax.dot_general(
+            queries.reshape(b, l, h * e), kp,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (B, L, H*S)
+        scores = scores.reshape(b, l, h, s).transpose(0, 2, 1, 3) * scale
     else:
         scores = jnp.einsum("blhe,bshe->bhls", queries, keys) * scale
     scores = tape.record("attn_scores", scores)
@@ -205,6 +239,17 @@ def association(
     probs = common.dropout(probs, cfg.dropout, dropout_rng, deterministic)
     if shared_kv:
         return jnp.einsum("bhls,shd->blhd", probs, values[0])
+    if blockdiag:
+        b, h, l, s = probs.shape
+        d = values.shape[-1]
+        eye = jnp.eye(h, dtype=values.dtype)
+        vp = jnp.einsum("bshd,hg->bhsgd", values, eye).reshape(b, h * s, h * d)
+        out = jax.lax.dot_general(
+            probs.transpose(0, 2, 1, 3).reshape(b, l, h * s), vp,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (B, L, H*D)
+        return out.reshape(b, l, h, d).astype(values.dtype)
     return jnp.einsum("bhls,bshd->blhd", probs, values)
 
 

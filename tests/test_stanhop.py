@@ -409,3 +409,41 @@ def test_dec0_shared_sthm_equivalence():
                             dropout_rng=jax.random.PRNGKey(0),
                             deterministic=False)
     assert np.isfinite(np.asarray(out_d)).all()
+
+
+def test_blockdiag_assoc_equivalence():
+    """_BLOCKDIAG_ASSOC reformulates both association einsums as
+    block-diagonal full-depth matmuls; forward and gradients must match the
+    per-head einsum formulation (flag default off pending the probe48 chip
+    measurement)."""
+    import outeffhop_tpu.models.stanhop as sh
+
+    cfg = STanHopConfig(**{**CFG.__dict__, "mode": "softmax1"})
+    params = init_stanhop_params(jax.random.PRNGKey(6), cfg)
+    x = jnp.asarray(
+        np.random.RandomState(6).randn(4, cfg.in_len, cfg.data_dim), jnp.float32
+    )
+    y = jnp.asarray(
+        np.random.RandomState(7).randn(4, cfg.out_len, cfg.data_dim), jnp.float32
+    )
+
+    def loss(p):
+        return sh.mse_loss(stanhop_forward(p, cfg, x), y)
+
+    old = sh._BLOCKDIAG_ASSOC
+    try:
+        sh._BLOCKDIAG_ASSOC = False
+        out_base, g_base = stanhop_forward(params, cfg, x), jax.grad(loss)(params)
+        sh._BLOCKDIAG_ASSOC = True
+        out_bd, g_bd = stanhop_forward(params, cfg, x), jax.grad(loss)(params)
+    finally:
+        sh._BLOCKDIAG_ASSOC = old
+    np.testing.assert_allclose(np.asarray(out_base), np.asarray(out_bd),
+                               rtol=1e-4, atol=1e-5)
+    la = jax.tree_util.tree_leaves_with_path(g_base)
+    lb = jax.tree_util.tree_leaves_with_path(g_bd)
+    for (pa, ga), (pb, gb) in zip(la, lb):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), rtol=5e-3, atol=2e-5,
+            err_msg=jax.tree_util.keystr(pa))
