@@ -320,10 +320,20 @@ def opt_attention(
         and (deterministic or cfg.attention_dropout == 0.0)
     )
     if isinstance(past_key_value, Int8KV) and not decode_fast:
-        raise ValueError(
-            "Int8KV past requires the single-token decode_fast path "
-            "(got decode_fast=False or a multi-token query)"
-        )
+        # multi-token continuation over an int8 cache (speculative-decoding
+        # verification, q_len = K+1): dequantize the past block up front —
+        # numerically identical to decode_fast's fused scale application
+        # (the per-token scales commute with the attention matmuls either
+        # way); costs one float materialization of the window being read
+        pk = (
+            past_key_value.k.astype(jnp.float32)
+            * past_key_value.k_scale[..., None]
+        ).astype(k_states.dtype)
+        pv = (
+            past_key_value.v.astype(jnp.float32)
+            * past_key_value.v_scale[..., None]
+        ).astype(v_states.dtype)
+        past_key_value = (pk, pv)
     if decode_fast:
         new_past = (k_states, v_states)
     elif past_key_value is not None:

@@ -75,6 +75,18 @@ class EngineConfig:
     # already runs at the HBM roofline (581 GB/s bf16 / 857 GB/s int8 cache
     # streaming). The decode-step win came from the single-scatter cache
     # write-back in _decode_body (probe30) instead.
+    #
+    # Prompt-lookup speculative decoding (greedy only): each step drafts
+    # `spec_k` tokens by copying the continuation of the most recent earlier
+    # occurrence of the slot's last bigram, verifies all of them in ONE
+    # forward (q_len = spec_k+1 against the cache), and emits the accepted
+    # prefix plus one model token — 1..spec_k+1 tokens per step. Outputs are
+    # BIT-IDENTICAL to plain greedy decoding by construction (the emitted
+    # tokens are the model's own argmaxes; speculation only changes how many
+    # are confirmed per dispatch). Big on repetitive/structured text, ~free
+    # on random text (rejected drafts still emit the 1 token a plain step
+    # would). 0 = off. Requires temperature == 0.
+    spec_k: int = 0
 
 
 @dataclasses.dataclass
@@ -368,6 +380,149 @@ def make_decode_step(cfg: OPTConfig, ecfg: EngineConfig, qctx=None):
     return decode_step
 
 
+def _spec_decode_body(cfg: OPTConfig, ecfg: EngineConfig, params,
+                      state: EngineState, qctx=None,
+                      bucket: Optional[int] = None):
+    """One prompt-lookup speculative decode step for every slot (greedy).
+
+    Draft: the continuation of the most recent PRIOR occurrence of the
+    slot's current bigram (tokens[len-2:len]) — the classic prompt-lookup /
+    n-gram speculation, no draft model needed. Verify: one forward of
+    [cur, d_0..d_{K-1}] (q_len = K+1) against the cache; the model's greedy
+    outputs o_0..o_K confirm a prefix of the draft (d_i == o_i) and the step
+    emits o_0..o_m where m = accepted count — identical tokens to m+1 plain
+    greedy steps, in one dispatch. Fresh K/V for all K+1 positions are
+    scattered into the cache; rows past the accepted length sit beyond the
+    valid-past mask and are overwritten by later steps before ever becoming
+    visible.
+
+    The CALLER guarantees headroom: max slot length + K + 1 <= max_seq
+    (ServingEngine.step falls back to plain decode otherwise), so no write
+    here can clamp.
+    """
+    from outeffhop_tpu.quant.calibrate import NULL_QCTX
+
+    qctx = qctx if qctx is not None else NULL_QCTX
+    S, K = ecfg.max_slots, ecfg.spec_k
+    L = cfg.num_hidden_layers
+    B = bucket or ecfg.max_seq
+    t = state.tokens
+    len_km1 = jnp.maximum(state.lengths - 1, 0)        # position of `cur`
+
+    # ---- draft: most recent prior occurrence of the last bigram ----------
+    cur = jnp.take_along_axis(t, len_km1[:, None], axis=1)          # (S, 1)
+    prev = jnp.take_along_axis(
+        t, jnp.maximum(len_km1 - 1, 0)[:, None], axis=1
+    )                                                                # (S, 1)
+    pos = jnp.arange(ecfg.max_seq)[None, :]
+    nxt_tok = jnp.roll(t, -1, axis=1)                                # t[:, j+1]
+    match = (
+        (t == prev)
+        & (nxt_tok == cur)
+        & (pos + 1 < len_km1[:, None])   # strictly before the current bigram
+        & (len_km1[:, None] >= 2)
+    )
+    # largest matching j per slot (0 when none — harmless, draft rejects)
+    rev_arg = jnp.argmax(match[:, ::-1], axis=1)
+    j = (ecfg.max_seq - 1) - rev_arg
+    has = jnp.any(match, axis=1)
+    draft_start = jnp.where(has, j + 2, 0)
+    didx = draft_start[:, None] + jnp.arange(K)[None, :]             # (S, K)
+    draft = jnp.take_along_axis(t, didx, axis=1, mode="clip")        # (S, K)
+
+    # ---- verify: one q_len = K+1 forward against the cache ---------------
+    past_valid = (pos[:, :B] < len_km1[:, None]).astype(jnp.int32)   # (S, B)
+    attn_mask = jnp.concatenate(
+        [past_valid, jnp.ones((S, K + 1), jnp.int32)], axis=1
+    )
+    inp = jnp.concatenate([cur, draft], axis=1)                      # (S, K+1)
+    if ecfg.kv_int8:
+        past_list = [
+            Int8KV(
+                state.cache_k[l, :, :, :B], state.cache_v[l, :, :, :B],
+                state.scale_k[l, :, :, :B], state.scale_v[l, :, :, :B],
+            )
+            for l in range(L)
+        ]
+    else:
+        past_list = [
+            (state.cache_k[l, :, :, :B], state.cache_v[l, :, :, :B])
+            for l in range(L)
+        ]
+    logits, new_past = opt_forward(
+        params, cfg, inp, attn_mask, past_key_values=past_list, q=qctx,
+    )                                                      # (S, K+1, V)
+    outs = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # greedy o_0..o_K
+
+    # ---- acceptance: longest prefix with d_i == o_i, stop at first EOS ---
+    acc = jnp.cumprod((draft == outs[:, :-1]).astype(jnp.int32), axis=1)
+    m = jnp.sum(acc, axis=1)                               # (S,) in [0, K]
+    emit0 = jnp.arange(K + 1)[None, :] <= m[:, None]       # o_0..o_m
+    is_eos = (outs == ecfg.eos_token_id) & emit0
+    eos_before = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) - is_eos
+    emit = emit0 & (eos_before == 0)                       # incl. first EOS
+    # cap at max_seq (defensive; caller guarantees headroom)
+    emit = emit & ((state.lengths[:, None] + jnp.arange(K + 1)[None, :])
+                   < ecfg.max_seq)
+    emit = emit & state.active[:, None]
+    n_emit = jnp.sum(emit.astype(jnp.int32), axis=1)       # (S,)
+
+    # ---- cache write-back: K+1 fresh rows per slot at len-1 .. len+K-1 ---
+    ck, cv = state.cache_k, state.cache_v
+    sk, sv = state.scale_k, state.scale_v
+    new_k = jnp.stack([k[:, :, -(K + 1):, :] for k, _ in new_past])  # (L,S,H,K+1,D)
+    new_v = jnp.stack([v[:, :, -(K + 1):, :] for _, v in new_past])
+    ladv = jnp.arange(L)[:, None, None]
+    sadv = jnp.arange(S)[None, :, None]
+    posw = (len_km1[:, None] + jnp.arange(K + 1)[None, :])[None]     # (1,S,K+1)
+    if ecfg.kv_int8:
+        q8 = quantize_kv(new_k, new_v)                     # per-token scales
+        new_k, new_v = q8.k, q8.v
+        sk = sk.at[ladv, sadv, :, posw].set(
+            jnp.moveaxis(q8.k_scale, 3, 2)                 # (L,S,K+1,H)
+        )
+        sv = sv.at[ladv, sadv, :, posw].set(jnp.moveaxis(q8.v_scale, 3, 2))
+    else:
+        new_k = new_k.astype(ck.dtype)
+        new_v = new_v.astype(cv.dtype)
+    # advanced indices at axes (0,1,3) with a slice between → indexed axes
+    # move to the front: values must be (L, S, K+1, H, D)
+    ck = ck.at[ladv, sadv, :, posw, :].set(jnp.moveaxis(new_k, 3, 2))
+    cv = cv.at[ladv, sadv, :, posw, :].set(jnp.moveaxis(new_v, 3, 2))
+
+    # ---- tokens / lengths / active ---------------------------------------
+    upd = jnp.where(emit, outs, ecfg.pad_token_id)         # (S, K+1)
+    tokens = jax.vmap(
+        lambda row, u, p: jax.lax.dynamic_update_slice(row, u, (p,))
+    )(t, upd, state.lengths)
+    written = state.active & (n_emit > 0)
+    tokens = jnp.where(written[:, None], tokens, t)
+    lengths = state.lengths + n_emit
+    active = (
+        state.active
+        & ~jnp.any(is_eos & emit, axis=1)
+        & (lengths < ecfg.max_seq)
+    )
+    return EngineState(ck, cv, tokens, lengths, active, sk, sv)
+
+
+def make_spec_decode_n(cfg: OPTConfig, ecfg: EngineConfig, n: int, qctx=None,
+                       bucket: Optional[int] = None):
+    """N speculative steps in one dispatch (each emits 1..spec_k+1 tokens)."""
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def spec_decode_n(params, state: EngineState, rng) -> EngineState:
+        del rng  # greedy only
+
+        def body(s, _):
+            return _spec_decode_body(cfg, ecfg, params, s, qctx, bucket), None
+
+        out, _ = jax.lax.scan(body, state, None, length=n)
+        return out
+
+    return spec_decode_n
+
+
 def make_decode_n(cfg: OPTConfig, ecfg: EngineConfig, n: int, qctx=None,
                   bucket: Optional[int] = None):
     """N decode steps in ONE dispatch (lax.scan). Through a remote-TPU tunnel
@@ -435,6 +590,15 @@ class ServingEngine:
             ecfg = dataclasses.replace(
                 ecfg, kv_int8=resolve_kv_int8(ecfg.kv_int8, cfg, ecfg, dtype)
             )
+        if ecfg.spec_k:
+            if ecfg.temperature != 0.0:
+                raise ValueError(
+                    "spec_k (prompt-lookup speculative decoding) requires "
+                    "greedy decoding (temperature == 0): acceptance compares "
+                    "the model's argmaxes against the draft"
+                )
+            if ecfg.spec_k + 1 >= ecfg.max_seq:
+                raise ValueError("spec_k + 1 must be < max_seq")
         self.cfg = cfg
         self.ecfg = ecfg
         self.mesh = mesh
@@ -561,23 +725,50 @@ class ServingEngine:
         return min(bucket, self.ecfg.max_seq)
 
     def step(self, decode_chunk: int = 1):
-        """Admit → decode `decode_chunk` tokens for all slots in one dispatch
+        """Admit → decode `decode_chunk` steps for all slots in one dispatch
         → evict finished. chunk > 1 amortizes dispatch latency (critical on
-        high-latency links); EOS still stops a slot mid-chunk on-device."""
+        high-latency links); EOS still stops a slot mid-chunk on-device.
+
+        With `spec_k` set, each step emits 1..spec_k+1 tokens (prompt-lookup
+        speculation); the engine falls back to plain decode near max_seq
+        where the K+1-token write window would not fit."""
         self._admit()
         if any(self._slots):
             self._rng, k = jax.random.split(self._rng)
-            bucket = self._pick_bucket(decode_chunk)
-            key = (max(decode_chunk, 1), bucket)
-            fn = self._decode_n.get(key)
-            if fn is None:
-                fn = make_decode_n(
-                    self.cfg, self.ecfg, max(decode_chunk, 1), self._qctx, bucket
-                )
-                self._decode_n[key] = fn
-            self.state = fn(self.params, self.state, k)
-            self._step_count += decode_chunk
-            self._max_len += decode_chunk
+            chunk = max(decode_chunk, 1)
+            K = self.ecfg.spec_k
+            spec_growth = chunk * (K + 1)
+            use_spec = bool(K) and (
+                self._max_len + spec_growth + 1 <= self.ecfg.max_seq
+            )
+            if use_spec:
+                need = min(self.ecfg.max_seq, self._max_len + spec_growth + 1)
+                bucket = 64
+                while bucket < need:
+                    bucket *= 2
+                bucket = min(bucket, self.ecfg.max_seq)
+                key = ("spec", chunk, bucket)
+                fn = self._decode_n.get(key)
+                if fn is None:
+                    fn = make_spec_decode_n(
+                        self.cfg, self.ecfg, chunk, self._qctx, bucket
+                    )
+                    self._decode_n[key] = fn
+                self.state = fn(self.params, self.state, k)
+                self._step_count += chunk
+                self._max_len += spec_growth
+            else:
+                bucket = self._pick_bucket(chunk)
+                key = (chunk, bucket)
+                fn = self._decode_n.get(key)
+                if fn is None:
+                    fn = make_decode_n(
+                        self.cfg, self.ecfg, chunk, self._qctx, bucket
+                    )
+                    self._decode_n[key] = fn
+                self.state = fn(self.params, self.state, k)
+                self._step_count += chunk
+                self._max_len += chunk
         self._evict_finished()
 
     @property

@@ -267,17 +267,28 @@ def test_int8kv_decode_matches_fp_attention(opt):
     )
 
 
-def test_int8kv_requires_decode_fast(opt):
+def test_int8kv_multitoken_matches_dequantized(opt):
+    """Since round 5 an Int8KV past also works on the multi-token
+    continuation path (speculative verification, q_len = K+1) by up-front
+    dequantization — must match the explicit float-past computation exactly
+    (the per-token scales commute with the attention matmuls)."""
     from outeffhop_tpu.models.opt import opt_attention, quantize_kv
 
     cfg, params = opt
     lp = params["layers"][0].get("attn") or params["layers"][0]["self_attn"]
-    past = quantize_kv(jnp.ones((1, 2, 4, 16)), jnp.ones((1, 2, 4, 16)))
-    with pytest.raises(ValueError, match="decode_fast"):
-        opt_attention(
-            lp, cfg, jnp.zeros((1, 1, 32)), None, past_key_value=past,
-            decode_fast=False,
-        )
+    rs = np.random.RandomState(3)
+    kf = jnp.asarray(rs.randn(1, 2, 4, 16), jnp.float32)
+    vf = jnp.asarray(rs.randn(1, 2, 4, 16), jnp.float32)
+    past8 = quantize_kv(kf, vf)
+    deq_k = past8.k.astype(jnp.float32) * past8.k_scale[..., None]
+    deq_v = past8.v.astype(jnp.float32) * past8.v_scale[..., None]
+    h = jnp.asarray(rs.randn(1, 3, 32), jnp.float32)
+    out8, _ = opt_attention(lp, cfg, h, None, past_key_value=past8,
+                            decode_fast=False)
+    outf, _ = opt_attention(lp, cfg, h, None, past_key_value=(deq_k, deq_v),
+                            decode_fast=False)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(outf),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_engine_kv_int8_matches_bf16_greedy(opt):
@@ -441,3 +452,66 @@ def test_kv_int8_auto_policy(opt):
                      max_new_tokens=4)
     res = eng.run()
     assert len(res[rid]) > 0
+
+
+def test_spec_decode_bit_identical_and_accelerates(opt):
+    """Prompt-lookup speculative decoding (spec_k): greedy outputs must be
+    BIT-IDENTICAL to the plain engine (acceptance only confirms the model's
+    own argmaxes), and on self-repetitive generations the scheduler must
+    finish in fewer step() dispatches (speculation actually accepting)."""
+    cfg, params = opt
+    # mix: repetitive prompts (bigram structure to look up) + random ones
+    reps = [np.tile([7, 11, 13], 4)[:10], np.tile([5, 9], 6)]
+    rnds = [np.random.RandomState(90 + i).randint(3, 120, 6) for i in range(2)]
+    prompts = reps + rnds
+
+    def run(spec_k, chunk=1):
+        ecfg = EngineConfig(max_slots=4, max_seq=64, max_prompt=16,
+                            eos_token_id=999, spec_k=spec_k)
+        eng = ServingEngine(params, cfg, ecfg)
+        rids = [eng.submit(p, max_new_tokens=12) for p in prompts]
+        res = eng.run(decode_chunk=chunk)
+        return [res[r] for r in rids], eng._step_count
+
+    base, base_steps = run(0)
+    spec, spec_steps = run(4)
+    for a, b in zip(base, spec):
+        np.testing.assert_array_equal(a, b)
+    # every step emits >= 1 token, so spec can never need MORE steps; a
+    # model generating anything self-repetitive accepts some drafts
+    assert spec_steps <= base_steps
+    # chunked dispatch composes with speculation
+    spec_c, _ = run(4, chunk=2)
+    for a, b in zip(base, spec_c):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_spec_decode_int8_kv_and_budget_cap(opt):
+    """spec x int8-KV composes bit-identically (vs the plain int8-KV
+    engine), and a slot hitting max_seq / its token budget is clamped
+    exactly as in plain decoding."""
+    cfg, params = opt
+    prompts = [np.tile([3, 8, 21], 3)[:8],
+               np.random.RandomState(95).randint(3, 120, 5)]
+
+    def run(spec_k):
+        ecfg = EngineConfig(max_slots=2, max_seq=24, max_prompt=12,
+                            eos_token_id=999, kv_int8=True, spec_k=spec_k)
+        eng = ServingEngine(params, cfg, ecfg)
+        # large budget: the max_seq=24 cap binds first for the 8-token prompt
+        rids = [eng.submit(p, max_new_tokens=30) for p in prompts]
+        res = eng.run(decode_chunk=2)
+        return [res[r] for r in rids]
+
+    base = run(0)
+    spec = run(3)
+    for a, b in zip(base, spec):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_spec_decode_requires_greedy(opt):
+    cfg, params = opt
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="greedy"):
+        ServingEngine(params, cfg, EngineConfig(max_slots=2, max_seq=32,
+                                                temperature=0.8, spec_k=4))
