@@ -311,10 +311,15 @@ def opt_attention(
     # (serving engine, greedy_generate) index [:, :, -1], identical either
     # way; callers that thread the returned past forward (the HF-style
     # incremental API) must leave decode_fast off.
+    # decode_fast generalizes to q_len = W > 1 (speculative-verification
+    # windows): scores against the static cache and the fresh W-token block
+    # are computed separately and concatenated — the SCORES are tiny, so the
+    # (B, H, S+W, D) K/V cache concat (2x the decode step's HBM traffic) is
+    # avoided for any window size, and the int8 cache stays fused (scales
+    # commute with the contractions, Int8KV docstring).
     decode_fast = (
         decode_fast
         and past_key_value is not None
-        and hidden_states.shape[1] == 1
         and not tape.enabled
         and not q.act_sites_enabled
         and (deterministic or cfg.attention_dropout == 0.0)
@@ -391,6 +396,42 @@ def opt_attention(
         past_k = (
             past_key_value.k.astype(q_states.dtype) if kv_int8 else past_key_value[0]
         )
+        if q_states.shape[2] > 1:
+            # multi-token window (speculative verification, q_len = W):
+            # same separate-scores structure, 4-D layout (the sublane-squeeze
+            # below is a singleton-q optimization)
+            scores_past = jnp.einsum("bhqd,bhkd->bhqk", q_states, past_k)
+            if kv_int8:
+                scores_past = scores_past * past_key_value.k_scale[:, :, None, :]
+            scores_fresh = jnp.einsum("bhqd,bhkd->bhqk", q_states, k_states)
+            scores = jnp.concatenate([scores_past, scores_fresh], axis=-1)
+            if attention_mask is not None:
+                # combined causal+padding bias (B, 1, W, S+W) from opt_forward
+                scores = scores + attention_mask
+                scores = jnp.maximum(scores, jnp.finfo(scores.dtype).min)
+            probs = cfg.softmax_fn()(scores.astype(jnp.float32), axis=-1).astype(
+                v_states.dtype
+            )
+            s_len = past_k.shape[2]
+            probs_past = probs[..., :s_len]
+            if kv_int8:
+                probs_past = probs_past * past_key_value.v_scale[
+                    :, :, None, :
+                ].astype(probs_past.dtype)
+                past_v = past_key_value.v.astype(v_states.dtype)
+            else:
+                past_v = past_key_value[1]
+            context = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs_past, past_v
+            ) + jnp.einsum("bhqk,bhkd->bhqd", probs[..., s_len:], v_states)
+            if cfg.attn_gate_type != "none":
+                context = apply_gate(
+                    context, params.get("gate"), acfg, hidden_states, tape
+                )
+            context = merge_heads(context)
+            context = q.act("context", context)
+            out = common.dense(params["out_proj"], context, q, "out_proj")
+            return out, new_past
         # The whole chain runs with the singleton query dim SQUEEZED:
         # (B, H, 1, T) f32 score tensors tile as (1, T) last-two-dims and
         # Mosaic pads the sublane dim 8x — probe35 measured the in-model

@@ -451,6 +451,7 @@ def _spec_decode_body(cfg: OPTConfig, ecfg: EngineConfig, params,
         ]
     logits, new_past = opt_forward(
         params, cfg, inp, attn_mask, past_key_values=past_list, q=qctx,
+        decode_fast=True,  # multi-token window: scores concat, not KV concat
     )                                                      # (S, K+1, V)
     outs = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # greedy o_0..o_K
 
