@@ -515,3 +515,32 @@ def test_spec_decode_requires_greedy(opt):
     with _pytest.raises(ValueError, match="greedy"):
         ServingEngine(params, cfg, EngineConfig(max_slots=2, max_seq=32,
                                                 temperature=0.8, spec_k=4))
+
+
+def test_spec_adaptive_fallback(opt):
+    """With spec_min_rate set high, an engine on any workload must disable
+    speculation after spec_min_steps (measured emitted/step < threshold) and
+    still produce bit-identical outputs; with the fallback disabled
+    (spec_min_rate <= 1.0) speculation stays on for the whole run."""
+    cfg, params = opt
+    prompts = [np.random.RandomState(110 + i).randint(3, 120, 6) for i in range(3)]
+
+    def run(**kw):
+        ecfg = EngineConfig(max_slots=3, max_seq=64, max_prompt=16,
+                            eos_token_id=999, **kw)
+        eng = ServingEngine(params, cfg, ecfg)
+        rids = [eng.submit(p, max_new_tokens=20) for p in prompts]
+        res = eng.run()
+        return [res[r] for r in rids], eng
+
+    base, _ = run(spec_k=0)
+    # impossible rate -> must fall back quickly, outputs still identical
+    forced, eng_f = run(spec_k=4, spec_min_rate=99.0, spec_min_steps=4)
+    assert not eng_f._spec_enabled
+    for a, b in zip(base, forced):
+        np.testing.assert_array_equal(a, b)
+    # fallback disabled -> speculation stays on to the end
+    keep, eng_k = run(spec_k=4, spec_min_rate=0.0)
+    assert eng_k._spec_enabled
+    for a, b in zip(base, keep):
+        np.testing.assert_array_equal(a, b)
