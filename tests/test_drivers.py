@@ -379,3 +379,42 @@ def test_resolve_train_use_flash_policy():
     # the causal threshold math (backend-independent part):
     resid = lambda b, t: 12 * b * 12 * t * t * 2
     assert resid(2, 2048) < 3.5 * 1024**3 < resid(1, 4096)
+
+
+def test_main_stanhop_etth1_schema_csv(tmp_path, monkeypatch):
+    """The ETTh1 data path end-to-end: the pinned-schema CSV generator
+    (results/acc_etth1_schema.py), the native CSV parser, the reference's
+    ETTh1 border arithmetic (12*30*24/4*30*24/4*30*24), train->test->eval
+    restore — at a tiny model config so it fits the suite budget. The
+    realistic-scale row lives in BASELINE.md (MSE 0.17462)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "acc_etth1_schema",
+        pathlib.Path(__file__).resolve().parents[1]
+        / "results" / "acc_etth1_schema.py",
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    gen.OUT_DIR = str(tmp_path / "etth1")
+    csv_path = gen.make_pinned_csv()
+    assert csv_path.endswith("ETTh1.csv")
+
+    from outeffhop_tpu.drivers.main_stanhop import main
+
+    monkeypatch.chdir(tmp_path)
+    args = [
+        "--data", "ETTh1", "--root_path", str(tmp_path / "etth1"),
+        "--in_len", "24", "--out_len", "12", "--seg_len", "6",
+        "--d_model", "16", "--d_ff", "32", "--n_heads", "2", "--e_layers", "2",
+        "--train_epochs", "1", "--batch_size", "64", "--mode", "softmax1",
+        "--dropout", "0.0", "--seed", "5",
+        "--checkpoints", str(tmp_path / "ck"),
+    ]
+    res = main(args)
+    assert np.isfinite(res[0]["mse"]) and res[0]["mse"] > 0
+    # eval restore reproduces the test metrics (eval_crossformer path)
+    setting = [d for d in os.listdir(tmp_path / "ck")][0]
+    res_eval = main(["--eval_dir", str(tmp_path / "ck" / setting)])
+    assert abs(res_eval["mse"] - res[0]["mse"]) < 1e-9
