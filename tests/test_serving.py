@@ -544,3 +544,26 @@ def test_spec_adaptive_fallback(opt):
     assert eng_k._spec_enabled
     for a, b in zip(base, keep):
         np.testing.assert_array_equal(a, b)
+
+
+def test_spec_decode_on_dp_mesh(opt):
+    """Speculation composes with the dp/tp-sharded slot pool: outputs stay
+    bit-identical to the unsharded plain engine."""
+    from outeffhop_tpu.parallel.mesh import make_mesh
+
+    cfg, params = opt
+    prompts = [np.tile([4, 9, 17], 4)[:9],
+               np.random.RandomState(120).randint(3, 120, 6)]
+
+    def run(mesh, spec_k):
+        ecfg = EngineConfig(max_slots=4, max_seq=48, max_prompt=16,
+                            eos_token_id=999, spec_k=spec_k)
+        eng = ServingEngine(params, cfg, ecfg, mesh=mesh)
+        rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+        res = eng.run(decode_chunk=2)
+        return [res[r] for r in rids]
+
+    base = run(None, 0)
+    spec_dp = run(make_mesh(n_data=4, n_model=2), 4)
+    for a, b in zip(base, spec_dp):
+        np.testing.assert_array_equal(a, b)
