@@ -124,8 +124,10 @@ def resolve_kv_int8(setting, cfg: OPTConfig, ecfg: EngineConfig, dtype) -> bool:
     pool is >= 4x the (analytically estimated) dense-weight bytes — probe22b's
     2.0x win sat at 19x, probe22's loss at 0.2x; 4x is safely inside the
     winning regime."""
+    if isinstance(setting, bool):
+        return setting
     if setting != "auto":
-        return bool(setting)
+        raise ValueError(f"kv_int8 must be a bool or 'auto', got {setting!r}")
     L, S = cfg.num_hidden_layers, ecfg.max_slots
     H, D = cfg.num_attention_heads, cfg.head_dim
     itemsize = jnp.dtype(dtype).itemsize
