@@ -102,7 +102,8 @@ def main(argv=None):
 
     use_flash = resolve_train_use_flash(
         args.use_flash, causal=True, n_layers=cfg.num_hidden_layers,
-        batch=args.per_device_train_batch_size, seq=args.block_size,
+        batch=args.per_device_train_batch_size,
+        seq=block,  # the ACTUAL training block (clamped to max_position_embeddings)
         n_heads=cfg.num_attention_heads,
     )
     if pipeline:

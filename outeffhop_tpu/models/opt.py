@@ -325,11 +325,23 @@ def opt_attention(
         and (deterministic or cfg.attention_dropout == 0.0)
     )
     if isinstance(past_key_value, Int8KV) and not decode_fast:
-        # multi-token continuation over an int8 cache (speculative-decoding
-        # verification, q_len = K+1): dequantize the past block up front —
-        # numerically identical to decode_fast's fused scale application
-        # (the per-token scales commute with the attention matmuls either
-        # way); costs one float materialization of the window being read
+        # Dequantize the past block up front — numerically identical to
+        # decode_fast's fused scale application (the per-token scales commute
+        # with the attention matmuls either way), but this path ALSO pays the
+        # per-layer float KV concat decode_fast exists to avoid. Reachable
+        # when decode_fast's runtime gate turns itself off (live tape, act
+        # quant sites, attention dropout); warn at trace time so the
+        # pathological hot path is loud (it used to be a hard ValueError).
+        import warnings
+
+        warnings.warn(
+            "Int8KV past on the non-decode_fast path: dequantizing and "
+            "concatenating the float cache per layer (>=2x decode HBM "
+            "traffic). Expected only for speculative verification under "
+            "telemetry/act-quant; if this is your decode hot loop, drop the "
+            "tape/act-quant ctx so decode_fast engages.",
+            stacklevel=2,
+        )
         pk = (
             past_key_value.k.astype(jnp.float32)
             * past_key_value.k_scale[..., None]

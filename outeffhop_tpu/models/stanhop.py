@@ -657,6 +657,7 @@ def stanhop_forward(
         and deterministic
         and b > 1
         and not q.needs_reference_shapes
+        and not tape.enabled  # probes must record full-batch tensors
     )
     for i, dp in enumerate(params["decoder"]):
         xdec, layer_pred = stanhop_decoder_layer(

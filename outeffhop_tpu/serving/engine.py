@@ -670,6 +670,7 @@ class ServingEngine:
         self._spec_steps = 0
         self._spec_tokens = 0
         self._live_produced = 0
+        self._overshoot = 0
 
     def submit(self, prompt_ids, max_new_tokens: int = 32) -> int:
         prompt = np.asarray(prompt_ids, np.int32)
@@ -731,6 +732,11 @@ class ServingEngine:
                 end = min(int(lengths[slot]), want)
                 self._done[req.rid] = tokens[slot, :end].copy()
                 self.tokens_generated += end - req.prompt_len
+                # overshoot discarded by the budget clamp still counts as
+                # EMITTED for the adaptive-speculation rate (otherwise
+                # short-request workloads underestimate acceptance and
+                # disable a winning speculation)
+                self._overshoot += max(int(lengths[slot]) - want, 0)
                 self._slots[slot] = None
                 self.state = dataclasses.replace(
                     self.state, active=self.state.active.at[slot].set(False)
@@ -768,14 +774,11 @@ class ServingEngine:
                 self._max_len + spec_growth + 1 <= self.ecfg.max_seq
             )
             before_emitted = (
-                self.tokens_generated + self._live_produced + n_admitted
+                self.tokens_generated + self._live_produced
+                + self._overshoot + n_admitted
             )
             if use_spec:
-                need = min(self.ecfg.max_seq, self._max_len + spec_growth + 1)
-                bucket = 64
-                while bucket < need:
-                    bucket *= 2
-                bucket = min(bucket, self.ecfg.max_seq)
+                bucket = self._pick_bucket(spec_growth)
                 key = ("spec", chunk, bucket)
                 fn = self._decode_n.get(key)
                 if fn is None:
@@ -805,7 +808,8 @@ class ServingEngine:
         self._evict_finished()
         if spec_dispatched:
             self._spec_tokens += (
-                self.tokens_generated + self._live_produced - before_emitted
+                self.tokens_generated + self._live_produced
+                + self._overshoot - before_emitted
             )
             if (
                 self.ecfg.spec_min_rate > 1.0
