@@ -88,10 +88,12 @@ class EngineConfig:
     # Requires temperature == 0.
     spec_k: int = 0
     # Adaptive fallback: after `spec_min_steps` speculative steps, if the
-    # average emitted-tokens-per-step is below this, the scheduler stops
-    # speculating for the rest of the engine's life (reuses the plain decode
-    # programs) — caps the incompressible-text downside at a brief probe
-    # while keeping the full upside on structured text. <= 1.0 disables the
+    # average emitted tokens PER STEP PER LIVE SLOT is below this, the
+    # scheduler stops speculating for the rest of the engine's life (reuses
+    # the plain decode programs) — caps the incompressible-text downside at
+    # a brief probe while keeping the full upside on structured text.
+    # A plain step emits exactly 1.0/slot; speculation must clear this
+    # margin to pay for its K+1-wide verify forward. <= 1.0 disables the
     # fallback.
     spec_min_rate: float = 1.25
     spec_min_steps: int = 8
@@ -668,6 +670,7 @@ class ServingEngine:
         # adaptive speculation state (spec_min_rate fallback)
         self._spec_enabled = bool(ecfg.spec_k)
         self._spec_steps = 0
+        self._spec_slotsteps = 0  # steps x live slots (per-slot normalizer)
         self._spec_tokens = 0
         self._live_produced = 0
         self._overshoot = 0
@@ -790,6 +793,8 @@ class ServingEngine:
                 self._step_count += chunk
                 self._max_len += spec_growth
                 self._spec_steps += chunk
+                n_live = sum(r is not None for r in self._slots)
+                self._spec_slotsteps += chunk * n_live
             else:
                 bucket = self._pick_bucket(chunk)
                 key = (chunk, bucket)
@@ -814,7 +819,7 @@ class ServingEngine:
             if (
                 self.ecfg.spec_min_rate > 1.0
                 and self._spec_steps >= self.ecfg.spec_min_steps
-                and self._spec_tokens / max(self._spec_steps, 1)
+                and self._spec_tokens / max(self._spec_slotsteps, 1)
                 < self.ecfg.spec_min_rate
             ):
                 self._spec_enabled = False

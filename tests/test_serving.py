@@ -539,6 +539,20 @@ def test_spec_adaptive_fallback(opt):
     assert not eng_f._spec_enabled
     for a, b in zip(base, forced):
         np.testing.assert_array_equal(a, b)
+    # the DEFAULT threshold is per-SLOT normalized (probe50 bug: a
+    # multi-slot engine sums emissions across slots, so an un-normalized
+    # rate could never trip). Whatever this toy model's acceptance turns
+    # out to be, the final enabled flag must be consistent with the
+    # measured per-slot rate, and outputs stay identical either way.
+    dflt, eng_d = run(spec_k=4)
+    if eng_d._spec_steps >= eng_d.ecfg.spec_min_steps:
+        rate = eng_d._spec_tokens / max(eng_d._spec_slotsteps, 1)
+        if not eng_d._spec_enabled:
+            assert rate < eng_d.ecfg.spec_min_rate
+        # per-slot normalizer sanity: slotsteps >= steps (>=1 live slot)
+        assert eng_d._spec_slotsteps >= eng_d._spec_steps
+    for a, b in zip(base, dflt):
+        np.testing.assert_array_equal(a, b)
     # fallback disabled -> speculation stays on to the end
     keep, eng_k = run(spec_k=4, spec_min_rate=0.0)
     assert eng_k._spec_enabled
