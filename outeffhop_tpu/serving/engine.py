@@ -92,9 +92,13 @@ class EngineConfig:
     # scheduler stops speculating for the rest of the engine's life (reuses
     # the plain decode programs) — caps the incompressible-text downside at
     # a brief probe while keeping the full upside on structured text.
-    # A plain step emits exactly 1.0/slot; speculation must clear this
-    # margin to pay for its K+1-wide verify forward. <= 1.0 disables the
-    # fallback.
+    # A plain step emits exactly 1.0/slot. This is a GUARDRAIL against
+    # catastrophic workloads (acceptance ~0), not a fine-grained optimizer:
+    # probe50d measured the verify step's cost ratio varying with live-slot
+    # occupancy (rand read a 1.77/slot rate yet lost ~6% wall-clock; rep won
+    # +8-17% at similar rates), so no universal rate threshold separates
+    # single-digit-% cases — pick spec_k per workload and let this catch
+    # only the clearly-degenerate ones. <= 1.0 disables the fallback.
     spec_min_rate: float = 1.25
     spec_min_steps: int = 8
 

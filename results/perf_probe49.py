@@ -76,9 +76,13 @@ def main():
     dt = time.perf_counter() - t0
     assert set(res) == set(rids)
     toks = eng2.tokens_generated
+    spec_rate = (eng2._spec_tokens / max(eng2._spec_slotsteps, 1)
+                 if getattr(eng2, "_spec_slotsteps", 0) else 0.0)
     print(f"serving49_{cell}: {toks} tokens in {dt:.2f}s = "
           f"{toks/dt:,.0f} tok/s ({eng2._step_count} device steps; "
-          f"warm pass {warm_s:.1f}s)", flush=True)
+          f"warm pass {warm_s:.1f}s; spec_steps {eng2._spec_steps} "
+          f"rate/slot {spec_rate:.3f} enabled {eng2._spec_enabled})",
+          flush=True)
 
 
 if __name__ == "__main__":
