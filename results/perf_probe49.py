@@ -26,6 +26,8 @@ def to_bf16(p):
 def main():
     cell = sys.argv[1] if len(sys.argv) > 1 else "plain_rep"
     variant, wl = cell.split("_")
+    # "specN_rep" selects spec_k=N (default 4); K+1=8 (spec_k=7) makes the
+    # verify window exactly one 8-row sublane tile
 
     from outeffhop_tpu.models.opt import OPTConfig, init_opt_params
     from outeffhop_tpu.serving.engine import EngineConfig, ServingEngine
@@ -57,7 +59,10 @@ def main():
         else:
             prompts.append(rs.randint(3, min(cfg.vocab_size, 5000), plen))
 
-    spec_k = 4 if variant == "spec" else 0
+    if variant.startswith("spec"):
+        spec_k = int(variant[4:]) if len(variant) > 4 else 4
+    else:
+        spec_k = 0
     ecfg = EngineConfig(max_slots=8 if on_tpu else 2, max_seq=max_seq,
                         max_prompt=plen, eos_token_id=0, spec_k=spec_k)
     eng = ServingEngine(params, cfg, ecfg, dtype=dtype)
