@@ -847,3 +847,22 @@ class ServingEngine:
     def results(self) -> Dict[int, np.ndarray]:
         out, self._done = self._done, {}
         return out
+
+    def stats(self) -> Dict[str, float]:
+        """Host-side serving metrics (observability surface): cumulative
+        tokens, device steps, queue/slot occupancy, and the speculative-
+        decoding acceptance state."""
+        return {
+            "tokens_generated": self.tokens_generated,
+            "device_steps": self._step_count,
+            "queued": len(self._queue),
+            "slots_live": sum(r is not None for r in self._slots),
+            "slots_total": self.ecfg.max_slots,
+            "spec_enabled": bool(self._spec_enabled),
+            "spec_steps": self._spec_steps,
+            "spec_rate_per_slot": (
+                self._spec_tokens / self._spec_slotsteps
+                if self._spec_slotsteps
+                else 0.0
+            ),
+        }

@@ -581,3 +581,19 @@ def test_spec_decode_on_dp_mesh(opt):
     spec_dp = run(make_mesh(n_data=4, n_model=2), 4)
     for a, b in zip(base, spec_dp):
         np.testing.assert_array_equal(a, b)
+
+
+def test_engine_stats_surface(opt):
+    cfg, params = opt
+    ecfg = EngineConfig(max_slots=2, max_seq=40, max_prompt=16,
+                        eos_token_id=999, spec_k=3)
+    eng = ServingEngine(params, cfg, ecfg)
+    s0 = eng.stats()
+    assert s0["tokens_generated"] == 0 and s0["slots_live"] == 0
+    eng.submit(np.arange(3, 9), max_new_tokens=5)
+    eng.run()
+    s1 = eng.stats()
+    assert s1["tokens_generated"] == 5
+    assert s1["device_steps"] > 0 and s1["slots_total"] == 2
+    assert 0.0 <= s1["spec_rate_per_slot"] < 10
+    assert isinstance(s1["spec_enabled"], bool)
