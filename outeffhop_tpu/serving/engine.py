@@ -749,15 +749,24 @@ class ServingEngine:
                     self.state, active=self.state.active.at[slot].set(False)
                 )
 
-    def _pick_bucket(self, decode_chunk: int) -> int:
-        """Smallest power-of-two cache prefix that covers every slot through
-        the end of this chunk. Decode reads only cache[:, :, :bucket] —
-        the dominant HBM traffic — so short sequences decode proportionally
-        faster; one program is compiled per (chunk, bucket) and reused."""
-        need = min(self.ecfg.max_seq, self._max_len + decode_chunk + 1)
-        bucket = 64
-        while bucket < need:
-            bucket *= 2
+    def _pick_bucket(self, growth: int) -> int:
+        """Smallest cache-prefix bucket covering every slot through the end
+        of this chunk (`growth` = worst-case length growth: chunk tokens for
+        plain decode, chunk*(spec_k+1) for speculative). Decode reads only
+        cache[:, :, :bucket] — the dominant HBM traffic — so short sequences
+        decode proportionally faster; one program is compiled per
+        (chunk, bucket) and reused. Power-of-two up to 256, then multiples
+        of 128: probe52 showed the decode/verify programs cost ~proportional
+        to the bucket, so pow2 rounding above 256 wasted up to ~2x cache
+        traffic (e.g. need 321 -> 512); 128-granularity caps the waste at
+        ~1.5x for at most max_seq/128 extra compiled variants."""
+        need = min(self.ecfg.max_seq, self._max_len + growth + 1)
+        if need <= 256:
+            bucket = 64
+            while bucket < need:
+                bucket *= 2
+        else:
+            bucket = -(-need // 128) * 128
         return min(bucket, self.ecfg.max_seq)
 
     def step(self, decode_chunk: int = 1):

@@ -597,3 +597,17 @@ def test_engine_stats_surface(opt):
     assert s1["device_steps"] > 0 and s1["slots_total"] == 2
     assert 0.0 <= s1["spec_rate_per_slot"] < 10
     assert isinstance(s1["spec_enabled"], bool)
+
+
+def test_pick_bucket_granularity(opt):
+    """Buckets: pow2 up to 256, then 128-multiples (probe52: decode cost is
+    ~proportional to bucket size; pow2 above 256 wasted up to 2x traffic)."""
+    cfg, params = opt
+    eng = ServingEngine(params, cfg, EngineConfig(max_slots=1, max_seq=2048,
+                                                  max_prompt=8))
+    for max_len, growth, want in [
+        (0, 1, 64), (60, 4, 128), (120, 8, 256), (250, 8, 384),
+        (321, 1, 384), (400, 16, 512), (600, 16, 640), (2040, 16, 2048),
+    ]:
+        eng._max_len = max_len
+        assert eng._pick_bucket(growth) == want, (max_len, growth)
